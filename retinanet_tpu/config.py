@@ -1,0 +1,221 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its hyperparameters between argparse flags
+(``/root/reference/train.py:88-108``) and hard-coded constants (anchor config
+``levels.py:55-59``, IoU thresholds ``dataset.py:10-11``, loss mix
+``losses.py:124-139``, L2 scales ``retinanet.py:304``, GN groups
+``normalization.py:5``, NMS params ``utils.py:9,215``, optimizer coefficients
+``train.py:115-117``, channel mean/std ``dataset.py:12-13``, shuffle buffer
+``train.py:197``).  Here every one of them lives in a single frozen dataclass
+so a run is fully described by one value, and jit sees only static Python
+scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor pyramid configuration (reference ``levels.py:55-59``).
+
+    P3..P7 base sizes are ``32 * 2**(k-3)`` pixels; each cell gets
+    ``len(aspect_ratios) * len(scale_ratios)`` anchors.
+    """
+
+    min_level: int = 3
+    max_level: int = 7
+    base_size: int = 32  # base anchor size at min_level, doubles per level
+    aspect_ratios: Tuple[Tuple[float, float], ...] = ((1, 2), (1, 1), (2, 1))
+    scale_ratios: Tuple[float, ...] = (2 ** 0, 2 ** (1 / 3), 2 ** (2 / 3))
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.aspect_ratios) * len(self.scale_ratios)
+
+    @property
+    def levels(self) -> Tuple[int, ...]:
+        return tuple(range(self.min_level, self.max_level + 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class AssignConfig:
+    """Anchor→GT matching thresholds (reference ``dataset.py:10-11,83-87``).
+
+    The reference has a quirk: background is assigned where
+    ``iou < POS_IOU_THRESHOLD`` (``dataset.py:83`` — the 0.4 line is commented
+    out) while the trainable (non-ignored) band is
+    ``iou < 0.4 or iou >= 0.5``.  ``bg_uses_pos_threshold`` reproduces that
+    behaviour (the default); set it False for the paper's 0.4 bg cut.
+    """
+
+    neg_iou_threshold: float = 0.4
+    pos_iou_threshold: float = 0.5
+    bg_uses_pos_threshold: bool = True
+    max_boxes: int = 100  # static padding of per-image GT boxes
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss mix (reference ``losses.py``).
+
+    ``class_losses`` selects which classification terms are summed; the
+    reference's active config is ``('bce', 'dice')`` (``losses.py:124-139``),
+    with focal implemented but disabled.  Regression is always Huber masked to
+    foreground with SUM_BY_NONZERO_WEIGHTS semantics (``losses.py:144-152``).
+    """
+
+    class_losses: Tuple[str, ...] = ("bce", "dice")
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    dice_smooth: float = 0.0
+    jaccard_smooth: float = 1.0
+    huber_delta: float = 1.0
+    weight_decay: float = 1e-4  # reference L2 regularizer scale retinanet.py:304
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model architecture (reference ``retinanet.py``)."""
+
+    backbone: str = "resnet_50"  # resnet_50 | densenet_121 | densenet_169 | mobilenet_v2
+    num_classes: int = 80
+    activation: str = "elu"  # reference passes tf.nn.elu (train.py:213)
+    dropout_rate: float = 0.2
+    fpn_channels: int = 256
+    head_depth: int = 4
+    groupnorm_groups: int = 32  # normalization.py:5
+    groupnorm_eps: float = 1e-5
+    prior_prob: float = 0.01  # pi for classification bias init retinanet.py:52
+    # TPU mixed precision: params fp32, compute bf16 (MXU-native).
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (reference ``dataset.py`` / ``train.py:190-202``)."""
+
+    dataset: Tuple[str, ...] = ("shapes", "/tmp/shapes", "100", "256")
+    image_size: int = 640  # static square size (reference: dynamic shorter-side=scale)
+    batch_size: int = 8  # per-step global batch (reference: fixed 2 = img + flip)
+    shuffle_buffer: int = 4096  # train.py:197
+    augment_flip: bool = True
+    mean: Tuple[float, float, float] = (0.46618041, 0.44669811, 0.40252436)
+    std: Tuple[float, float, float] = (0.27940595, 0.27489075, 0.28920765)
+    num_workers: int = 4  # host-side decode threads (min(cpu,4) dataset.py:231)
+    prefetch: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / schedule (reference ``train.py:88-134``)."""
+
+    optimizer: str = "momentum"  # momentum | adam | rmsprop
+    learning_rate: float = 1e-2  # train.py:90
+    momentum: float = 0.9  # train.py:115
+    rmsprop_decay: float = 0.9  # train.py:117
+    rmsprop_momentum: float = 0.9
+    grad_clip_norm: Optional[float] = None
+    epochs: int = 1000
+    steps_per_epoch: Optional[int] = None  # None = full pass over loader
+    checkpoint_every: int = 500  # train.py:266-267
+    log_every: int = 50
+    experiment: str = "experiments/default"
+    seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class NMSConfig:
+    """Detection decode (reference ``utils.py:9,183-220``)."""
+
+    score_threshold: float = 0.5  # utils.py:186 (prob > .5)
+    iou_threshold: float = 0.5  # utils.py:215
+    max_output_size: int = 1000  # NMS_MAX_OUTPUT_SIZE utils.py:9
+    top_k_per_level: int = 1000  # static pre-NMS top-k (replaces boolean_mask)
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh (replaces MirroredStrategy, reference ``train.py:261-262``).
+
+    A 1-D data mesh is the reference-equivalent default; model code is
+    mesh-agnostic so larger meshes are a config change.
+    """
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None = all visible devices
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    anchors: AnchorConfig = dataclasses.field(default_factory=AnchorConfig)
+    assign: AssignConfig = dataclasses.field(default_factory=AssignConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    nms: NMSConfig = dataclasses.field(default_factory=NMSConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _apply_dotted(cfg: Config, dotted: str, value) -> Config:
+    """Return a copy of ``cfg`` with ``section.field`` replaced by ``value``."""
+    section_name, field_name = dotted.split(".", 1)
+    section = getattr(cfg, section_name)
+    section = dataclasses.replace(section, **{field_name: value})
+    return dataclasses.replace(cfg, **{section_name: section})
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
+    """Build a Config from the reference-compatible CLI surface.
+
+    Mirrors ``/root/reference/train.py:88-108``: --learning-rate --dropout
+    --dataset --epochs --scale --experiment --grad-clip-norm --backbone
+    --optimizer, plus TPU-native additions (--batch-size, --image-size alias
+    of --scale, --steps-per-epoch, --seed).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="retinanet_tpu trainer")
+    parser.add_argument("--learning-rate", type=float, default=1e-2)
+    parser.add_argument("--dropout", type=float, default=0.2)
+    parser.add_argument("--dataset", type=str, nargs="+", required=True)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--scale", type=int, default=600,
+                        help="static square image size (reference shorter-side scale)")
+    parser.add_argument("--experiment", type=str, required=True)
+    parser.add_argument("--grad-clip-norm", type=float, default=None)
+    parser.add_argument(
+        "--backbone", type=str, default="resnet_50",
+        choices=["resnet_50", "densenet_121", "densenet_169", "mobilenet_v2"])
+    parser.add_argument(
+        "--optimizer", type=str, default="momentum",
+        choices=["momentum", "adam", "rmsprop"])
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    cfg = Config()
+    for dotted, value in [
+        ("train.learning_rate", args.learning_rate),
+        ("model.dropout_rate", args.dropout),
+        ("data.dataset", tuple(args.dataset)),
+        ("train.epochs", args.epochs),
+        ("data.image_size", args.scale),
+        ("train.experiment", args.experiment),
+        ("train.grad_clip_norm", args.grad_clip_norm),
+        ("model.backbone", args.backbone),
+        ("train.optimizer", args.optimizer),
+        ("data.batch_size", args.batch_size),
+        ("train.steps_per_epoch", args.steps_per_epoch),
+        ("train.seed", args.seed),
+    ]:
+        cfg = _apply_dotted(cfg, dotted, value)
+    return cfg
