@@ -1,0 +1,154 @@
+"""Shared layers: GroupNorm, conv blocks, activations, initializers.
+
+GroupNorm reproduces ``/root/reference/normalization.py:4-35`` exactly:
+32 groups capped at the channel count (``groups = min(32, C)``), eps 1e-5,
+per-channel γ/β, moments over (H, W, C/G).  Everything is NHWC.
+
+TPU notes: convolutions lower to ``lax.conv_general_dilated`` which XLA tiles
+onto the MXU; compute runs in bfloat16 with fp32 parameters and fp32 GN
+statistics (the reduction is precision-sensitive).  ResNeXt cardinality and
+depthwise convs use ``feature_group_count`` — one fused conv instead of the
+reference's Python loop of 32 small convs (``resnet.py:88-95``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import Array
+
+Dtype = Any
+
+# He-normal fan-in: reference variance_scaling_initializer(2.0, FAN_IN, normal)
+# (resnet.py:193, densenet.py:268, mobilenet_v2.py:107).
+he_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+# Head/FPN init: N(0, 0.01) (retinanet.py:303).
+normal_001 = nn.initializers.normal(stddev=0.01)
+
+
+def get_activation(name: str) -> Callable[[Array], Array]:
+    """Activation registry (reference passes tf.nn.elu, train.py:213)."""
+    return {
+        "elu": jax.nn.elu,
+        "relu": jax.nn.relu,
+        "relu6": jax.nn.relu6,
+        "swish": jax.nn.swish,
+        "gelu": jax.nn.gelu,
+    }[name]
+
+
+class GroupNorm(nn.Module):
+    """Reference-exact GroupNorm (``normalization.py:4-35``).
+
+    ``groups`` is capped at the channel count; moments are computed in fp32
+    over (H, W, C/G) per group.  The capping means channel counts below 32
+    degrade towards InstanceNorm — the reference relies on this (e.g. the
+    ResNeXt per-split norms are all effectively per-channel).
+    """
+
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        groups = min(self.groups, c)
+        # The reference reshapes to [n,h,w,G,C//G] without checking
+        # divisibility (normalization.py:27), which is a latent runtime error
+        # for e.g. MobileNetV2's 144-channel expansions.  Use the largest
+        # divisor of C not exceeding the requested group count instead.
+        while c % groups:
+            groups -= 1
+
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+
+        x32 = x.astype(jnp.float32).reshape(n, h, w, groups, c // groups)
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
+        x32 = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        out = x32.reshape(n, h, w, c) * gamma + beta
+        return out.astype(self.dtype)
+
+
+class Conv(nn.Module):
+    """NHWC conv wrapper: bf16 compute, fp32 params, optional groups."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: str = "SAME"
+    use_bias: bool = False
+    feature_group_count: int = 1
+    kernel_init: Callable = he_normal
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) \
+            else self.kernel_size
+        s = (self.strides,) * 2 if isinstance(self.strides, int) \
+            else self.strides
+        return nn.Conv(
+            features=self.features, kernel_size=k, strides=s,
+            padding=self.padding, use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=self.kernel_init, bias_init=self.bias_init,
+            dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class ConvGN(nn.Module):
+    """conv (no bias) → GroupNorm → optional activation → optional dropout.
+
+    The reference's ubiquitous building block (conv + Normalization + act,
+    e.g. ``retinanet.py:38-49``).  ``gn_groups`` defaults to 32; pass the
+    channel count for the per-channel (InstanceNorm-degenerate) spots.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    feature_group_count: int = 1
+    gn_groups: int = 32
+    activation: Optional[str] = None
+    dropout_rate: float = 0.0
+    kernel_init: Callable = he_normal
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> Array:
+        x = Conv(self.features, self.kernel_size, self.strides,
+                 feature_group_count=self.feature_group_count,
+                 kernel_init=self.kernel_init, dtype=self.dtype)(x)
+        x = GroupNorm(groups=self.gn_groups, dtype=self.dtype)(x)
+        if self.activation is not None:
+            x = get_activation(self.activation)(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
+        return x
+
+
+def max_pool_same(x: Array, window: int, strides: int) -> Array:
+    """MaxPool with TF-style SAME padding (reference stem pools)."""
+    return nn.max_pool(x, (window, window), (strides, strides), padding="SAME")
+
+
+def avg_pool_same(x: Array, window: int, strides: int) -> Array:
+    return nn.avg_pool(x, (window, window), (strides, strides), padding="SAME")
+
+
+def nearest_upsample(x: Array, target_hw: Sequence[int]) -> Array:
+    """Nearest-neighbour resize to ``target_hw`` (FPN top-down path,
+    reference ``retinanet.py:154-156``).  For the usual exact 2× case this is
+    a reshape-broadcast, which XLA fuses into the consumer."""
+    n, h, w, c = x.shape
+    th, tw = target_hw
+    if th == 2 * h and tw == 2 * w:
+        out = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+        return out.reshape(n, th, tw, c)
+    return jax.image.resize(x, (n, th, tw, c), method="nearest")

@@ -1,0 +1,89 @@
+"""ResNeXt-50 (32×4d) backbone (reference ``/root/reference/resnet.py``).
+
+The reference implements cardinality 32 as a Python loop of 32 small convs
+over ``tf.split`` with a GroupNorm per split (``resnet.py:88-95``).  Here the
+whole thing is **one** grouped convolution (``feature_group_count=32``) — the
+form XLA tiles onto the MXU as a single op.  The per-split GroupNorms are
+mathematically per-channel norms (each split has ≤32 channels, so
+``min(32, c)`` makes every group a single channel), so the fused equivalent
+is one GroupNorm with ``groups == channels``.
+
+Reference quirks preserved: the downsampling identity projection is a 3×3
+stride-2 conv, not the usual 1×1 (``resnet.py:33-36``); block-internal
+activations are hard-coded relu regardless of the model activation
+(``resnet.py:84-101``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import Array
+
+from retinanet_tpu.models.layers import Conv, ConvGN, GroupNorm, max_pool_same
+
+
+class ResNeXtBottleneck(nn.Module):
+    """Grouped bottleneck (reference ``ResNeXt_Bottleneck``)."""
+
+    filters: int  # stage width; conv1/conv2 = 2x, output = 4x
+    project: Union[bool, str]  # False | True | 'down'
+    cardinality: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> Array:
+        identity = x
+        if self.project == "down":
+            # Reference quirk: 3×3/2 projection (resnet.py:33-36).
+            identity = ConvGN(self.filters * 4, kernel_size=3, strides=2,
+                              dtype=self.dtype)(identity, training=training)
+        elif self.project:
+            identity = ConvGN(self.filters * 4, kernel_size=1,
+                              dtype=self.dtype)(identity, training=training)
+
+        width = self.filters * 2
+        x = ConvGN(width, kernel_size=1, activation="relu",
+                   dtype=self.dtype)(x, training=training)
+        # Grouped 3×3: one conv replaces the reference's 32-conv Python loop;
+        # gn_groups=width reproduces the per-split per-channel norms.
+        strides = 2 if self.project == "down" else 1
+        x = Conv(width, kernel_size=3, strides=strides,
+                 feature_group_count=self.cardinality, dtype=self.dtype)(x)
+        x = GroupNorm(groups=width, dtype=self.dtype)(x)
+        x = jax.nn.relu(x)
+        x = ConvGN(self.filters * 4, kernel_size=1,
+                   dtype=self.dtype)(x, training=training)
+        return jax.nn.relu(x + identity)
+
+
+class ResNeXt50(nn.Module):
+    """Returns {'C1'..'C5'} (reference ``ResNeXt_50``, ``resnet.py:169-215``).
+
+    Stem 7×7/2 + GN + relu → C1; maxpool 3/2; stages of depth (3, 4, 6, 3)
+    with widths (64, 128, 256, 512); stage 1 projects without downsampling.
+    """
+
+    activation: str = "elu"  # accepted for API parity; blocks use relu
+    dropout_rate: float = 0.0  # reference ResNeXt has no dropout
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> Dict[str, Array]:
+        x = ConvGN(64, kernel_size=7, strides=2, activation="relu",
+                   dtype=self.dtype)(x, training=training)
+        taps = {"C1": x}
+        x = max_pool_same(x, 3, 2)
+
+        stages = ((64, 3, False), (128, 4, True), (256, 6, True),
+                  (512, 3, True))
+        for stage_idx, (filters, depth, downsample) in enumerate(stages):
+            for i in range(depth):
+                project = ("down" if downsample else True) if i == 0 else False
+                x = ResNeXtBottleneck(filters=filters, project=project,
+                                      dtype=self.dtype)(x, training=training)
+            taps[f"C{stage_idx + 2}"] = x
+        return taps

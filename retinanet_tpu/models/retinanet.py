@@ -1,0 +1,134 @@
+"""RetinaNet assembly (reference ``/root/reference/retinanet.py:224-316``).
+
+backbone → FPN → shared classification/regression subnets applied to each of
+P3..P7.  Output pytree: ``{'classifications': {P3..P7: [B,H,W,A,K]},
+'regressions': {P3..P7: [B,H,W,A,4]}}`` — the dict-of-levels shape is a
+natural JAX pytree and flows through jit/vmap/shard_map unchanged.
+
+The reference's in-graph L2 regularization (``retinanet.py:304``) is instead
+computed from the param pytree by :func:`l2_regularization` with the same
+per-module scales (backbones 1e-4, MobileNetV2 4e-5 — ``resnet.py:193``,
+``mobilenet_v2.py:108``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import Array
+
+from retinanet_tpu.config import ModelConfig
+from retinanet_tpu.models.densenet import DenseNetBC121, DenseNetBC169
+from retinanet_tpu.models.fpn import FPN
+from retinanet_tpu.models.heads import ClassificationSubnet, RegressionSubnet
+from retinanet_tpu.models.mobilenet_v2 import MobileNetV2
+from retinanet_tpu.models.resnet import ResNeXt50
+
+BACKBONES = ("resnet_50", "densenet_121", "densenet_169", "mobilenet_v2")
+
+
+def build_backbone(name: str, activation: str, dropout_rate: float,
+                   dtype: Any = jnp.bfloat16) -> nn.Module:
+    """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too)."""
+    if name == "resnet_50":
+        return ResNeXt50(activation=activation, dtype=dtype)
+    if name == "densenet_121":
+        return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
+                             dtype=dtype)
+    if name == "densenet_169":
+        return DenseNetBC169(activation=activation, dropout_rate=dropout_rate,
+                             dtype=dtype)
+    if name == "mobilenet_v2":
+        return MobileNetV2(activation=activation, dropout_rate=dropout_rate,
+                           dtype=dtype)
+    raise ValueError(f"unknown backbone {name!r}; choose from {BACKBONES}")
+
+
+class RetinaNet(nn.Module):
+    """Full detector.  Construct via ``RetinaNet.from_config(cfg.model)``."""
+
+    backbone: str = "resnet_50"
+    num_classes: int = 80
+    num_anchors: int = 9
+    activation: str = "elu"
+    dropout_rate: float = 0.2
+    fpn_channels: int = 256
+    head_depth: int = 4
+    prior_prob: float = 0.01
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, num_anchors: int = 9,
+                    num_classes: int = None) -> "RetinaNet":
+        return cls(
+            backbone=cfg.backbone,
+            num_classes=cfg.num_classes if num_classes is None else num_classes,
+            num_anchors=num_anchors,
+            activation=cfg.activation,
+            dropout_rate=cfg.dropout_rate,
+            fpn_channels=cfg.fpn_channels,
+            head_depth=cfg.head_depth,
+            prior_prob=cfg.prior_prob,
+            dtype=jnp.dtype(cfg.compute_dtype))
+
+    def setup(self):
+        self.backbone_net = build_backbone(
+            self.backbone, self.activation, self.dropout_rate, self.dtype)
+        self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
+                       dtype=self.dtype)
+        self.classification_subnet = ClassificationSubnet(
+            num_anchors=self.num_anchors, num_classes=self.num_classes,
+            channels=self.fpn_channels, depth=self.head_depth,
+            activation=self.activation, prior_prob=self.prior_prob,
+            dtype=self.dtype)
+        self.regression_subnet = RegressionSubnet(
+            num_anchors=self.num_anchors, channels=self.fpn_channels,
+            depth=self.head_depth, activation=self.activation,
+            dtype=self.dtype)
+
+    def __call__(self, images: Array, *,
+                 training: bool = False) -> Dict[str, Dict[str, Array]]:
+        x = images.astype(self.dtype)
+        bottom_up = self.backbone_net(x, training=training)
+        top_down = self.fpn(
+            {k: bottom_up[k] for k in ("C3", "C4", "C5")}, training=training)
+        # Shared heads: the same bound submodule applied per level reuses one
+        # parameter set (reference retinanet.py:283-291).
+        classifications = {
+            k: self.classification_subnet(v, training=training)
+            for k, v in top_down.items()}
+        regressions = {
+            k: self.regression_subnet(v, training=training)
+            for k, v in top_down.items()}
+        return {"classifications": classifications, "regressions": regressions}
+
+
+def l2_regularization(params, backbone: str, scale: float = 1e-4) -> Array:
+    """TF-parity L2 loss: ``scale * sum(w**2) / 2`` over conv kernels.
+
+    tf.contrib's ``l2_regularizer(scale)`` contributes ``scale *
+    tf.nn.l2_loss(w)`` per kernel; MobileNetV2 uses scale 4e-5
+    (``mobilenet_v2.py:108``), everything else 1e-4.  GroupNorm γ/β and
+    biases are not regularized (the reference registers regularizers only on
+    conv kernels).
+    """
+    import jax
+
+    backbone_scale = 4e-5 if backbone == "mobilenet_v2" else scale
+
+    def walk(tree, in_backbone):
+        total = jnp.zeros((), jnp.float32)
+        for key, value in tree.items():
+            inside = in_backbone or key == "backbone_net"
+            if isinstance(value, dict):
+                total += walk(value, inside)
+            elif key == "kernel":
+                s = backbone_scale if inside else scale
+                total += s * jnp.sum(
+                    jnp.square(value.astype(jnp.float32))) / 2
+        return total
+
+    flat = jax.tree_util.tree_map(lambda x: x, params)  # ensure plain dict
+    return walk(flat, False)
