@@ -1,0 +1,64 @@
+"""COCO loader (reference ``/root/reference/data_loaders/coco.py``).
+
+The reference uses pycocotools; this environment doesn't ship it, and for
+iteration + box extraction plain ``json`` is all that's needed.  Same
+behaviour: category ids sorted and re-indexed densely, crowd annotations and
+degenerate (sub-pixel) boxes skipped, images without annotations skipped,
+boxes converted from COCO ``[left, top, w, h]`` to ``[t, l, b, r]`` pixels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List
+
+import numpy as np
+
+from retinanet_tpu.data.loaders.base import Base
+
+
+class COCO(Base):
+    def __init__(self, ann_path: str, dataset_path: str):
+        with open(ann_path) as f:
+            ann = json.load(f)
+        self._dataset_path = dataset_path
+        self._category_ids = sorted(c["id"] for c in ann["categories"])
+        self._cat_index = {cid: i for i, cid in enumerate(self._category_ids)}
+        cat_by_id = {c["id"]: c for c in ann["categories"]}
+        self._class_names = [cat_by_id[cid]["name"]
+                             for cid in self._category_ids]
+
+        self._images = ann["images"]
+        self._anns_by_image: Dict[int, List[dict]] = {}
+        for a in ann["annotations"]:
+            if a.get("iscrowd", 0):
+                continue  # reference: getAnnIds(iscrowd=False) coco.py:33
+            self._anns_by_image.setdefault(a["image_id"], []).append(a)
+
+    @property
+    def class_names(self) -> List[str]:
+        return list(self._class_names)
+
+    def __len__(self) -> int:
+        return sum(1 for im in self._images
+                   if self._anns_by_image.get(im["id"]))
+
+    def __iter__(self) -> Iterator[Dict]:
+        for image in self._images:
+            annotations = self._anns_by_image.get(image["id"], [])
+            boxes, class_ids = [], []
+            for a in annotations:
+                left, top, width, height = a["bbox"]
+                if height < 1 or width < 1:  # reference coco.py:42-44
+                    continue
+                boxes.append([top, left, top + height, left + width])
+                class_ids.append(self._cat_index[a["category_id"]])
+            if not boxes:
+                continue  # reference skips images without boxes coco.py:55
+            yield {
+                "image_file": os.path.join(self._dataset_path,
+                                           image["file_name"]),
+                "class_ids": np.array(class_ids, np.int32),
+                "boxes": np.array(boxes, np.float32).reshape(-1, 4),
+            }

@@ -1,0 +1,50 @@
+"""Loader dispatcher + validity checks
+(reference ``/root/reference/data_loaders/inferred.py``).
+
+``Inferred('shapes', ['/tmp/x', '10', '600'])`` etc. — the same stringly CLI
+contract as the reference, with per-sample validation that every sample has
+≥1 box and all boxes satisfy tl < br.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+from retinanet_tpu.data.loaders.base import Base
+
+
+class Inferred(Base):
+    def __init__(self, type: str, args: Sequence[str]):
+        if type == "coco":
+            from retinanet_tpu.data.loaders.coco import COCO
+            self._dl = COCO(*args)
+        elif type == "pascal":
+            from retinanet_tpu.data.loaders.pascal import Pascal
+            self._dl = Pascal(*args)
+        elif type == "shapes":
+            from retinanet_tpu.data.loaders.shapes import Shapes
+            self._dl = Shapes(args[0], int(args[1]),
+                              (int(args[2]), int(args[2])))
+        else:
+            raise ValueError(f"unknown dataset type: {type}")
+
+    @property
+    def class_names(self) -> List[str]:
+        return self._dl.class_names
+
+    def __len__(self) -> int:
+        return len(self._dl)
+
+    def __iter__(self) -> Iterator[Dict]:
+        for x in self._dl:
+            # Reference inferred.py:30-32 asserts; raise with context instead.
+            if x["boxes"].shape[0] == 0 or \
+                    x["boxes"].shape[0] != x["class_ids"].shape[0]:
+                raise ValueError(f"sample has invalid box/class counts: {x}")
+            tl, br = np.split(x["boxes"], 2, -1)
+            if not np.all(tl < br):
+                raise ValueError(f"degenerate box (tl >= br) in sample: "
+                                 f"{x['boxes']}")
+            yield x

@@ -1,0 +1,239 @@
+"""Host-side input pipeline — the TPU-native replacement for ``tf.data``.
+
+The reference builds a TF graph pipeline with per-image dynamic shapes and a
+fixed (image, flipped-image) pair as its "batch" (``dataset.py:145-233``).
+TPU + XLA want **static shapes** and real batches, so this pipeline:
+
+  * decodes + resizes on host (cv2/PIL, thread pool — cv2 releases the GIL)
+  * resizes the *longer* side to ``image_size`` and pads to a static square
+    (the reference's shorter-side scaling gives dynamic shapes; padding
+    regions carry no boxes and the assignment/losses are box-driven)
+  * normalizes boxes to padded-canvas-relative [0, 1]
+  * applies random horizontal flip on the host sample (image + boxes) —
+    label maps are built *after* augmentation, on device, so there is no
+    flip-the-labels step (the reference's ``augmentation.py`` flips 15 label
+    tensors; here it's 1 image + 1 box array)
+  * pads boxes/class_ids to a static ``max_boxes``
+  * shuffles with a reservoir buffer and prefetches batches on a thread
+
+Label assignment itself runs on-device (``ops/assign.py``) inside the jitted
+train step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, NamedTuple, Optional
+
+import numpy as np
+
+from retinanet_tpu.config import DataConfig
+from retinanet_tpu.data.loaders.base import Base
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+    from PIL import Image
+
+
+class Batch(NamedTuple):
+    """One static-shape training batch (all host numpy, ready to device_put)."""
+
+    images: np.ndarray      # [B, S, S, 3] float32, mean/std normalized
+    boxes: np.ndarray       # [B, M, 4] float32 (t,l,b,r) canvas-relative
+    class_ids: np.ndarray   # [B, M] int32
+    box_mask: np.ndarray    # [B, M] bool
+    image_ids: np.ndarray   # [B] int64 — loader sample index
+    scales: np.ndarray      # [B] float32 — resize factor original→canvas px
+
+
+def _imread(path: str) -> np.ndarray:
+    if cv2 is not None:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img[..., ::-1]  # BGR → RGB
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    if cv2 is not None:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+
+
+def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
+                   std: np.ndarray, max_boxes: int,
+                   flip: bool) -> Dict[str, np.ndarray]:
+    """Decode/resize/pad/normalize one sample to static shapes."""
+    image = sample.get("image")
+    if image is None:
+        image = _imread(sample["image_file"])
+    ih, iw = image.shape[:2]
+
+    scale = image_size / max(ih, iw)
+    nh, nw = max(1, round(ih * scale)), max(1, round(iw * scale))
+    image = _resize(image, nh, nw)
+    boxes = sample["boxes"].astype(np.float32) * scale  # canvas pixels
+    class_ids = sample["class_ids"].astype(np.int32)
+
+    if flip:
+        image = image[:, ::-1]
+        t, l, b, r = np.split(boxes, 4, axis=-1)
+        boxes = np.concatenate([t, nw - r, b, nw - l], axis=-1)
+
+    canvas = np.zeros((image_size, image_size, 3), np.float32)
+    canvas[:nh, :nw] = image.astype(np.float32) / 255.0
+    canvas = (canvas - mean) / std
+
+    boxes = boxes / image_size  # canvas-relative [0, 1]
+    n = min(len(boxes), max_boxes)
+    out_boxes = np.zeros((max_boxes, 4), np.float32)
+    out_ids = np.zeros((max_boxes,), np.int32)
+    out_mask = np.zeros((max_boxes,), bool)
+    out_boxes[:n] = boxes[:n]
+    out_ids[:n] = class_ids[:n]
+    out_mask[:n] = True
+
+    return {"image": canvas, "boxes": out_boxes, "class_ids": out_ids,
+            "box_mask": out_mask, "scale": np.float32(scale)}
+
+
+class Pipeline:
+    """Iterable over :class:`Batch`es with shuffle + threaded prefetch."""
+
+    def __init__(self, loader: Base, config: DataConfig,
+                 max_boxes: int = 100, training: bool = True,
+                 seed: int = 42):
+        self.loader = loader
+        self.config = config
+        self.max_boxes = max_boxes
+        self.training = training
+        self.seed = seed
+        self._mean = np.asarray(config.mean, np.float32)
+        self._std = np.asarray(config.std, np.float32)
+
+    def __len__(self) -> int:
+        return max(1, len(self.loader) // self.config.batch_size)
+
+    def _sample_stream(self, rng: np.random.RandomState) -> Iterator[tuple]:
+        """(index, sample) stream with reservoir shuffle when training."""
+        indexed = enumerate(self.loader)
+        if not self.training or self.config.shuffle_buffer <= 1:
+            yield from indexed
+            return
+        buf = []
+        for item in indexed:
+            buf.append(item)
+            if len(buf) >= self.config.shuffle_buffer:
+                j = rng.randint(len(buf))
+                buf[j], buf[-1] = buf[-1], buf[j]
+                yield buf.pop()
+        rng.shuffle(buf)
+        yield from buf
+
+    def epoch(self, epoch_index: int = 0) -> Iterator[Batch]:
+        """One pass over the loader as static-shape batches (drops the final
+        short batch — static shapes everywhere)."""
+        cfg = self.config
+        rng = np.random.RandomState(self.seed * 131 + epoch_index)
+
+        def with_flip_flags():
+            # Draw flip decisions sequentially here (single thread) so the
+            # rng is not shared across pool workers and runs are
+            # reproducible regardless of worker scheduling.
+            for index, sample in self._sample_stream(rng):
+                flip = bool(cfg.augment_flip and self.training
+                            and rng.rand() < 0.5)
+                yield index, sample, flip
+
+        def prepare(item):
+            index, sample, flip = item
+            out = process_sample(sample, cfg.image_size, self._mean,
+                                 self._std, self.max_boxes, flip)
+            out["image_id"] = np.int64(index)
+            return out
+
+        with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
+            batch = []
+            for processed in pool.map(prepare, with_flip_flags(),
+                                      chunksize=1):
+                batch.append(processed)
+                if len(batch) == cfg.batch_size:
+                    yield Batch(
+                        images=np.stack([s["image"] for s in batch]),
+                        boxes=np.stack([s["boxes"] for s in batch]),
+                        class_ids=np.stack([s["class_ids"] for s in batch]),
+                        box_mask=np.stack([s["box_mask"] for s in batch]),
+                        image_ids=np.stack([s["image_id"] for s in batch]),
+                        scales=np.stack([s["scale"] for s in batch]),
+                    )
+                    batch = []
+
+    def prefetched(self, epoch_index: int = 0) -> Iterator[Batch]:
+        """epoch() with a background producer thread."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.config.prefetch)
+        sentinel = object()
+        error = []
+
+        def produce():
+            try:
+                for b in self.epoch(epoch_index):
+                    q.put(b)
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def build_pipeline(loader: Base, config: DataConfig, max_boxes: int = 100,
+                   training: bool = True, seed: int = 42) -> Pipeline:
+    """Reference ``dataset.build_dataset`` equivalent (``dataset.py:154``)."""
+    return Pipeline(loader, config, max_boxes=max_boxes, training=training,
+                    seed=seed)
+
+
+def compute_mean_std(loader: Base, image_size: int = 256,
+                     max_samples: Optional[int] = None):
+    """Two-pass channel mean/std (fixes the reference's broken
+    ``dataset.py:236-277`` CLI).  Operates on unnormalized [0,1] pixels of
+    the un-padded region."""
+    total = np.zeros(3, np.float64)
+    count = 0
+    sizes = []
+    for i, sample in enumerate(loader):
+        if max_samples is not None and i >= max_samples:
+            break
+        image = sample.get("image")
+        if image is None:
+            image = _imread(sample["image_file"])
+        x = image.astype(np.float64) / 255.0
+        total += x.sum((0, 1))
+        count += x.shape[0] * x.shape[1]
+        sizes.append(x.shape[:2])
+    mean = total / count
+
+    sq = np.zeros(3, np.float64)
+    for i, sample in enumerate(loader):
+        if max_samples is not None and i >= max_samples:
+            break
+        image = sample.get("image")
+        if image is None:
+            image = _imread(sample["image_file"])
+        x = image.astype(np.float64) / 255.0
+        sq += ((x - mean) ** 2).sum((0, 1))
+    std = np.sqrt(sq / count)
+    return mean, std

@@ -1,0 +1,151 @@
+"""Data pipeline + loader tests (Shapes is the offline fixture, SURVEY §4)."""
+
+import numpy as np
+
+from retinanet_tpu.config import DataConfig
+from retinanet_tpu.data.loaders.inferred import Inferred
+from retinanet_tpu.data.loaders.shapes import Shapes
+from retinanet_tpu.data.pipeline import (
+    Batch, Pipeline, build_pipeline, compute_mean_std, process_sample)
+
+
+def _cfg(**kw):
+    base = dict(dataset=("shapes",), image_size=64, batch_size=2,
+                shuffle_buffer=8, augment_flip=False, num_workers=2,
+                prefetch=1)
+    base.update(kw)
+    return DataConfig(**base)
+
+
+def test_shapes_loader_valid_and_deterministic():
+    dl = Shapes(None, 8, (64, 64), seed=7)
+    samples1 = list(dl)
+    samples2 = list(dl)
+    assert len(samples1) == 8
+    for s1, s2 in zip(samples1, samples2):
+        np.testing.assert_array_equal(s1["image"], s2["image"])
+        np.testing.assert_array_equal(s1["boxes"], s2["boxes"])
+        # boxes valid: t<b, l<r within canvas
+        t, l, b, r = s1["boxes"].T
+        assert np.all(t < b) and np.all(l < r)
+        assert np.all(t >= 0) and np.all(b <= 64)
+        assert s1["class_ids"].shape[0] == s1["boxes"].shape[0] > 0
+
+
+def test_inferred_dispatch_and_validation():
+    dl = Inferred("shapes", [None, "4", "64"])
+    assert dl.num_classes == 3
+    assert dl.class_names == ["square", "triangle", "circle"]
+    assert len(list(dl)) == 4
+
+
+def test_process_sample_static_shapes():
+    image = np.zeros((100, 50, 3), np.uint8)
+    sample = {"image": image,
+              "boxes": np.array([[10, 10, 60, 40]], np.float32),
+              "class_ids": np.array([1], np.int32)}
+    out = process_sample(sample, 64, np.zeros(3, np.float32),
+                         np.ones(3, np.float32), max_boxes=10, flip=False)
+    assert out["image"].shape == (64, 64, 3)
+    assert out["boxes"].shape == (10, 4)
+    assert out["box_mask"].sum() == 1
+    # Longer side (100) scaled to 64 → scale 0.64.
+    np.testing.assert_allclose(out["scale"], 0.64, atol=1e-6)
+    # Box scaled: t=10*0.64/64=0.1, l=0.1, b=0.6, r=0.4.
+    np.testing.assert_allclose(out["boxes"][0], [0.1, 0.1, 0.6, 0.4],
+                               atol=1e-2)
+
+
+def test_process_sample_flip():
+    image = np.zeros((64, 64, 3), np.uint8)
+    image[:, :32] = 255  # left half white
+    sample = {"image": image,
+              "boxes": np.array([[0, 0, 64, 32]], np.float32),
+              "class_ids": np.array([0], np.int32)}
+    out = process_sample(sample, 64, np.zeros(3, np.float32),
+                         np.ones(3, np.float32), max_boxes=4, flip=True)
+    # White half now on the right; box covers right half.
+    assert out["image"][:, 48:].mean() > out["image"][:, :16].mean()
+    np.testing.assert_allclose(out["boxes"][0], [0, 0.5, 1.0, 1.0],
+                               atol=1e-6)
+
+
+def test_pipeline_batches():
+    dl = Shapes(None, 10, (64, 64))
+    pipe = build_pipeline(dl, _cfg(), max_boxes=8)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 5  # 10 samples / batch 2
+    for b in batches:
+        assert isinstance(b, Batch)
+        assert b.images.shape == (2, 64, 64, 3)
+        assert b.boxes.shape == (2, 8, 4)
+        assert b.class_ids.shape == (2, 8)
+        assert b.box_mask.shape == (2, 8)
+        assert b.box_mask.any(axis=1).all()  # every sample has a box
+
+
+def test_pipeline_prefetched_matches_epoch():
+    dl = Shapes(None, 6, (64, 64))
+    pipe = Pipeline(dl, _cfg(shuffle_buffer=1), max_boxes=8, training=False)
+    direct = list(pipe.epoch(0))
+    prefetched = list(pipe.prefetched(0))
+    assert len(direct) == len(prefetched)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_array_equal(a.images, b.images)
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+
+
+def test_pipeline_shuffle_changes_order_across_epochs():
+    dl = Shapes(None, 16, (32, 32))
+    pipe = Pipeline(dl, _cfg(batch_size=4, shuffle_buffer=16), max_boxes=8,
+                    training=True, seed=3)
+    ids0 = np.concatenate([b.image_ids for b in pipe.epoch(0)])
+    ids1 = np.concatenate([b.image_ids for b in pipe.epoch(1)])
+    assert sorted(ids0.tolist()) == sorted(ids1.tolist())
+    assert ids0.tolist() != ids1.tolist()
+
+
+def test_compute_mean_std():
+    dl = Shapes(None, 4, (32, 32))
+    mean, std = compute_mean_std(dl)
+    assert mean.shape == (3,) and std.shape == (3,)
+    assert np.all(mean > 0) and np.all(mean < 1)
+    assert np.all(std > 0)
+
+
+def test_flip_assign_commutes():
+    """assign(flipped sample) == flip_labels(assign(sample)) — validates the
+    host flip math against the reference's label-space flip."""
+    import jax.numpy as jnp
+    from retinanet_tpu.ops import assign
+    from retinanet_tpu.ops.augment import flip_labels
+    from retinanet_tpu.ops.anchors import build_levels
+
+    levels = build_levels()
+    # Dyadic coordinates: exactly representable in binary so 1-r introduces
+    # no rounding and threshold comparisons mirror exactly.
+    boxes = np.array([[0.125, 0.25, 0.5, 0.4375]], np.float32)
+    ids = np.array([1], np.int32)
+    mask = np.ones(1, bool)
+
+    # Flip boxes horizontally: l' = 1 - r, r' = 1 - l.
+    fboxes = boxes.copy()
+    fboxes[:, 1] = 1 - boxes[:, 3]
+    fboxes[:, 3] = 1 - boxes[:, 1]
+
+    size = 64
+    cls_a, regr_a, mask_a = assign.build_labels(
+        jnp.asarray(fboxes), jnp.asarray(ids), jnp.asarray(mask),
+        size, levels, 3)
+    cls_b, regr_b, mask_b = assign.build_labels(
+        jnp.asarray(boxes), jnp.asarray(ids), jnp.asarray(mask),
+        size, levels, 3)
+    cls_b, regr_b, mask_b = flip_labels(cls_b, regr_b, mask_b)
+
+    for k in cls_a:
+        np.testing.assert_allclose(np.asarray(cls_a[k]),
+                                   np.asarray(cls_b[k]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(regr_a[k]),
+                                   np.asarray(regr_b[k]), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(mask_a[k]),
+                                      np.asarray(mask_b[k]))
