@@ -1,0 +1,59 @@
+"""Device mesh + sharding (replaces MirroredStrategy, reference
+``train.py:261-262`` / ``utils.py:311-315``).
+
+The reference's only strategy is single-host data parallelism with NCCL
+all-reduce.  The TPU-native equivalent: a 1-D ``jax.sharding.Mesh`` over all
+visible devices, batch dimension sharded along ``data``, parameters
+replicated.  The train step is a plain ``jax.jit`` with NamedSharding
+annotations — XLA's SPMD partitioner inserts the gradient all-reduce as ICI
+collectives, and global-batch loss semantics (the reference's dice over the
+whole flattened batch) fall out automatically because reductions over sharded
+arrays are global under jit.
+
+Model code never mentions the mesh: scaling to more chips (or adding a model
+axis later) is a config change, per the mesh-agnostic design in SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from retinanet_tpu.config import ParallelConfig
+
+
+def make_mesh(config: ParallelConfig = ParallelConfig(),
+              devices=None) -> Mesh:
+    """1-D data mesh over visible devices (auto-detect like the reference's
+    ``get_num_gpus``; identical single-device behaviour)."""
+    if devices is None:
+        devices = jax.devices()
+    n = config.num_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (config.data_axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    axis = axis or mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put a host batch pytree with the batch dim sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """device_put a pytree fully replicated over the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

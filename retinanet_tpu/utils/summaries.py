@@ -1,0 +1,68 @@
+"""Metrics / observability (reference §5: TensorBoard scalar + histogram +
+image summaries, ``train.py:123,164-187``, ``losses.py:160-163``).
+
+No TensorBoard is available in this environment, so the writer emits
+newline-delimited JSON (``metrics.jsonl``) — trivially greppable/plottable —
+and keeps the reference's key diagnostics: learning rate, losses, and the
+author's fg/bg predicted-probability histograms (fixed 20-bin counts computed
+on device).  Box-overlay images are rendered post-step by
+``retinanet_tpu.utils.draw`` when requested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+HIST_BINS = 20
+
+
+def prob_histograms(class_targets: Array, class_probs: Array,
+                    trainable_mask: Array) -> Dict[str, Array]:
+    """fg/bg predicted-prob histograms (reference ``losses.py:160-163``).
+
+    Static-shape: weighted bincount over 20 fixed bins in [0, 1].
+    """
+    w = trainable_mask.astype(jnp.float32)[..., None] * jnp.ones_like(
+        class_targets)
+    fg_w = w * (class_targets == 1)
+    bg_w = w * (class_targets == 0)
+    bins = jnp.clip((class_probs * HIST_BINS).astype(jnp.int32), 0,
+                    HIST_BINS - 1)
+    one_hot = jnp.eye(HIST_BINS, dtype=jnp.float32)[bins]
+    return {
+        "prob_fg_hist": jnp.sum(one_hot * fg_w[..., None], axis=tuple(
+            range(one_hot.ndim - 1))),
+        "prob_bg_hist": jnp.sum(one_hot * bg_w[..., None], axis=tuple(
+            range(one_hot.ndim - 1))),
+    }
+
+
+class MetricsWriter:
+    """JSONL metrics sink with wall-clock and step stamping."""
+
+    def __init__(self, experiment_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(experiment_dir, exist_ok=True)
+        self._path = os.path.join(experiment_dir, filename)
+        self._file = open(self._path, "a")
+
+    def write(self, step: int, metrics: Dict, prefix: Optional[str] = None):
+        record = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, (jnp.ndarray, np.ndarray)):
+                v = np.asarray(v)
+                record[key] = v.tolist() if v.ndim else float(v)
+            else:
+                record[key] = v
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+
+    def close(self):
+        self._file.close()
