@@ -1,0 +1,164 @@
+"""Static-shape detection decode + NMS.
+
+The reference decodes with a dynamic boolean mask (prob > 0.5,
+``utils.py:183-195``) and loops per class over TF's C++ NMS op
+(``utils.py:198-220``).  Neither shape-dynamic masking nor a sequential C++
+op exists on TPU, so this module re-designs the path with static shapes:
+
+  * per-level top-k candidates (scores below the threshold keep their slot
+    but are marked invalid) instead of boolean_mask
+  * classwise NMS via **coordinate offsetting**: boxes are shifted by
+    ``class_id * offset`` so boxes of different classes can never overlap —
+    one batched NMS call is exactly equivalent to the reference's per-class
+    loop
+  * greedy NMS itself as the standard O(N²) suppression-matrix algorithm:
+    one pairwise-IoU matrix (MXU/VPU friendly) + a ``fori_loop`` over sorted
+    candidates updating an active mask — bit-exact greedy semantics with a
+    fully static shape
+
+``retinanet_tpu.ops.pallas.nms_kernel`` provides the fused TPU kernel for
+the suppression loop; this module is the reference implementation and
+fallback, and the kernel is verified against it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from retinanet_tpu.config import NMSConfig
+from retinanet_tpu.ops import boxes as box_ops
+from retinanet_tpu.ops.anchors import Levels
+
+
+class BoxesDecoded(NamedTuple):
+    """Padded detections (reference ``BoxesDecoded`` namedtuple + validity)."""
+
+    boxes: Array      # [..., K, 4] corner, image-relative
+    scores: Array     # [..., K]
+    class_ids: Array  # [..., K] int32
+    valid: Array      # [..., K] bool
+
+
+def classmap_decode(classmap: Array, threshold: float = 0.5) -> Array:
+    """fg_mask = max class prob > threshold (reference ``utils.py:171-177``)."""
+    return jnp.max(classmap, axis=-1) > threshold
+
+
+def decode_level(
+    classifications: Array,  # [B, H, W, A, C] logits
+    regressions: Array,      # [B, H, W, A, 4]
+    anchor_sizes: Array,     # [A, 2] normalized
+    top_k: int,
+    score_threshold: float,
+) -> BoxesDecoded:
+    """Top-k candidates of one pyramid level (replaces boolean-mask decode)."""
+    b = classifications.shape[0]
+    probs = jax.nn.sigmoid(classifications.astype(jnp.float32))
+    scores_map = jnp.max(probs, axis=-1)                   # [B,H,W,A]
+    ids_map = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B,H,W,A]
+    boxes_map = box_ops.regression_postprocess(
+        regressions.astype(jnp.float32), anchor_sizes)     # [B,H,W,A,4]
+
+    scores_flat = scores_map.reshape(b, -1)
+    n = scores_flat.shape[1]
+    k = min(top_k, n)
+    top_scores, top_idx = jax.lax.top_k(scores_flat, k)
+    gather = lambda m: jnp.take_along_axis(m.reshape(b, n, -1),
+                                           top_idx[..., None], axis=1)
+    return BoxesDecoded(
+        boxes=gather(boxes_map).reshape(b, k, 4),
+        scores=top_scores,
+        class_ids=gather(ids_map[..., None]).reshape(b, k),
+        valid=top_scores > score_threshold,
+    )
+
+
+def decode_levels(
+    classifications: Dict[str, Array],
+    regressions: Dict[str, Array],
+    levels: Levels,
+    image_size: int,
+    cfg: NMSConfig = NMSConfig(),
+) -> BoxesDecoded:
+    """Decode + merge all pyramid levels (reference ``train.py:68-74``)."""
+    parts = []
+    for pn in sorted(classifications.keys()):
+        anchor_sizes = jnp.asarray(
+            levels.normalized_anchor_sizes(pn, image_size))
+        parts.append(decode_level(
+            classifications[pn], regressions[pn], anchor_sizes,
+            cfg.top_k_per_level, cfg.score_threshold))
+    return BoxesDecoded(
+        boxes=jnp.concatenate([p.boxes for p in parts], axis=1),
+        scores=jnp.concatenate([p.scores for p in parts], axis=1),
+        class_ids=jnp.concatenate([p.class_ids for p in parts], axis=1),
+        valid=jnp.concatenate([p.valid for p in parts], axis=1),
+    )
+
+
+def _greedy_keep_mask(boxes: Array, scores: Array,
+                      iou_threshold: float) -> Array:
+    """Exact greedy NMS keep-mask for score-sorted boxes ([N,4], [N])."""
+    n = boxes.shape[0]
+    iou = box_ops.pairwise_iou(boxes, boxes)
+    idx = jnp.arange(n)
+
+    def body(i, active):
+        suppress = (iou[i] > iou_threshold) & (idx > i) & active[i]
+        return active & ~suppress
+
+    active = jax.lax.fori_loop(0, n, body, jnp.ones(n, bool))
+    return active
+
+
+def nms_padded(
+    decoded: BoxesDecoded,
+    iou_threshold: float = 0.5,
+    max_output_size: int = 1000,
+    classwise: bool = True,
+    use_pallas: Optional[bool] = None,
+) -> BoxesDecoded:
+    """Batched, static-shape (class-wise) NMS over padded candidates.
+
+    Exactly the reference's greedy semantics (``utils.py:198-220``): per
+    class, IoU 0.5, at most ``max_output_size`` survivors, descending score.
+    Invalid candidates participate with score −1 and a far-away coordinate
+    offset, so they can neither win nor suppress.
+    """
+    def one_image(boxes, scores, class_ids, valid):
+        order = jnp.argsort(-jnp.where(valid, scores, -1.0))
+        boxes_s = boxes[order]
+        scores_s = scores[order]
+        ids_s = class_ids[order]
+        valid_s = valid[order]
+
+        shifted = boxes_s
+        if classwise:
+            # Different classes never overlap after offsetting.
+            shifted = shifted + (ids_s[:, None] * 4.0).astype(boxes.dtype)
+        # Park invalid boxes far away so they don't suppress anyone.
+        shifted = jnp.where(valid_s[:, None], shifted, shifted - 1e4)
+
+        if use_pallas:
+            from retinanet_tpu.ops.pallas.nms_kernel import nms_keep_mask
+            keep = nms_keep_mask(shifted, iou_threshold)
+        else:
+            keep = _greedy_keep_mask(shifted, scores_s, iou_threshold)
+        keep = keep & valid_s
+
+        out_scores = jnp.where(keep, scores_s, -1.0)
+        k = min(max_output_size, out_scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(out_scores, k)
+        return BoxesDecoded(
+            boxes=boxes_s[top_idx],
+            scores=jnp.where(top_scores > 0, top_scores, 0.0),
+            class_ids=ids_s[top_idx],
+            valid=top_scores > 0,
+        )
+
+    return jax.vmap(one_image)(decoded.boxes, decoded.scores,
+                               decoded.class_ids, decoded.valid)

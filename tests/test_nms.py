@@ -1,0 +1,158 @@
+"""Decode + NMS tests: greedy semantics vs numpy reference, classwise
+equivalence, Pallas kernel (interpret mode) vs JAX fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retinanet_tpu.config import NMSConfig
+from retinanet_tpu.ops.anchors import build_levels
+from retinanet_tpu.ops.nms import (
+    BoxesDecoded, _greedy_keep_mask, classmap_decode, decode_level,
+    decode_levels, nms_padded)
+
+
+def _np_greedy_nms(boxes, scores, threshold):
+    """Plain numpy greedy NMS (the reference TF op's documented semantics)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            t = max(boxes[i][0], boxes[j][0])
+            l = max(boxes[i][1], boxes[j][1])
+            b = min(boxes[i][2], boxes[j][2])
+            r = min(boxes[i][3], boxes[j][3])
+            inter = max(b - t, 0) * max(r - l, 0)
+            area_i = (boxes[i][2] - boxes[i][0]) * (boxes[i][3] - boxes[i][1])
+            area_j = (boxes[j][2] - boxes[j][0]) * (boxes[j][3] - boxes[j][1])
+            if inter / (area_i + area_j - inter) > threshold:
+                suppressed[j] = True
+    return sorted(keep, key=lambda i: -scores[i])
+
+
+def test_classmap_decode():
+    cm = jnp.asarray([[0.1, 0.9], [0.2, 0.3]])
+    np.testing.assert_array_equal(np.asarray(classmap_decode(cm)),
+                                  [True, False])
+
+
+def test_greedy_keep_matches_numpy():
+    rng = np.random.RandomState(0)
+    n = 64
+    centers = rng.rand(n, 2) * 0.8 + 0.1
+    sizes = rng.rand(n, 2) * 0.3 + 0.05
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1)
+    scores = rng.rand(n).astype(np.float32)
+
+    order = np.argsort(-scores)
+    sorted_boxes = boxes[order].astype(np.float32)
+    keep_mask = np.asarray(_greedy_keep_mask(jnp.asarray(sorted_boxes),
+                                             jnp.asarray(scores[order]), 0.5))
+    got = set(np.nonzero(keep_mask)[0].tolist())
+    want = set(range(len(order))) & {
+        list(order).index(i) for i in _np_greedy_nms(boxes, scores, 0.5)}
+    assert got == want
+
+
+def test_nms_padded_basic():
+    # Three boxes: two heavy overlaps same class, one separate.
+    boxes = jnp.asarray([[[0.1, 0.1, 0.5, 0.5],
+                          [0.11, 0.11, 0.51, 0.51],
+                          [0.6, 0.6, 0.9, 0.9],
+                          [0.0, 0.0, 0.0, 0.0]]])
+    scores = jnp.asarray([[0.9, 0.8, 0.7, 0.0]])
+    ids = jnp.asarray([[1, 1, 2, 0]], dtype=jnp.int32)
+    valid = jnp.asarray([[True, True, True, False]])
+    out = nms_padded(BoxesDecoded(boxes, scores, ids, valid),
+                     max_output_size=4)
+    v = np.asarray(out.valid[0])
+    assert v.sum() == 2
+    np.testing.assert_allclose(np.asarray(out.scores[0][v]), [0.9, 0.7])
+    np.testing.assert_array_equal(np.asarray(out.class_ids[0][v]), [1, 2])
+
+
+def test_nms_classwise_keeps_cross_class_overlaps():
+    boxes = jnp.asarray([[[0.1, 0.1, 0.5, 0.5],
+                          [0.1, 0.1, 0.5, 0.5]]])
+    scores = jnp.asarray([[0.9, 0.8]])
+    ids = jnp.asarray([[0, 1]], dtype=jnp.int32)
+    valid = jnp.ones((1, 2), bool)
+    out = nms_padded(BoxesDecoded(boxes, scores, ids, valid))
+    assert int(np.asarray(out.valid[0]).sum()) == 2  # different classes kept
+    out2 = nms_padded(BoxesDecoded(boxes, scores, ids, valid),
+                      classwise=False)
+    assert int(np.asarray(out2.valid[0]).sum()) == 1
+
+
+def test_decode_level_top_k():
+    b, h, w, a, c = 1, 4, 4, 2, 3
+    rng = np.random.RandomState(0)
+    cls = jnp.asarray(rng.randn(b, h, w, a, c).astype(np.float32)) * 3
+    regr = jnp.zeros((b, h, w, a, 4))
+    anchors = jnp.asarray([[0.25, 0.25], [0.5, 0.5]])
+    out = decode_level(cls, regr, anchors, top_k=10, score_threshold=0.5)
+    assert out.boxes.shape == (1, 10, 4)
+    # Scores sorted descending.
+    s = np.asarray(out.scores[0])
+    assert np.all(np.diff(s) <= 1e-6)
+    # Validity exactly where score > 0.5.
+    np.testing.assert_array_equal(np.asarray(out.valid[0]), s > 0.5)
+
+
+def test_decode_levels_merges():
+    levels = build_levels()
+    size = 64
+    cls = {}
+    regr = {}
+    for pn in levels:
+        g = levels.grid_size(pn, size)
+        cls[pn] = jnp.zeros((1, g, g, 9, 3))
+        regr[pn] = jnp.zeros((1, g, g, 9, 4))
+    cfg = NMSConfig(top_k_per_level=20)
+    out = decode_levels(cls, regr, levels, size, cfg)
+    # P3/P4/P5 cap at 20; P6/P7 have only 9 anchors each at 64px.
+    assert out.boxes.shape == (1, 78, 4)
+
+
+def test_pallas_kernel_matches_fallback_interpret():
+    """Run the Pallas NMS kernel in interpreter mode on CPU and compare
+    against the pure-JAX greedy fallback."""
+    from retinanet_tpu.ops.pallas import nms_kernel as nk
+    import functools
+    from jax.experimental import pallas as pl
+
+    rng = np.random.RandomState(1)
+    n = 200  # not a multiple of 128 → exercises padding
+    centers = rng.rand(n, 2) * 0.8 + 0.1
+    sizes = rng.rand(n, 2) * 0.25 + 0.05
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1)
+    scores = -np.sort(-rng.rand(n).astype(np.float32))  # already sorted
+    boxes = boxes.astype(np.float32)
+
+    want = np.asarray(_greedy_keep_mask(jnp.asarray(boxes),
+                                        jnp.asarray(scores), 0.5))
+
+    # Interpret-mode pallas_call (CPU-safe).
+    num_tiles = -(-n // nk.TILE)
+    padded = num_tiles * nk.TILE
+    pad = np.full((padded - n, 4), -1e6, np.float32)
+    pad += np.arange(padded - n, dtype=np.float32)[:, None] * 8.0
+    all_boxes = np.concatenate([boxes, pad], 0)
+    coords = [jnp.asarray(all_boxes[:, i].reshape(num_tiles, nk.TILE))
+              for i in range(4)]
+    from jax.experimental.pallas import tpu as pltpu
+    keep = pl.pallas_call(
+        functools.partial(nk._nms_kernel, iou_threshold=0.5,
+                          num_tiles=num_tiles),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, nk.TILE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nk.TILE, nk.TILE), jnp.float32)],
+        interpret=True,
+    )(*coords)
+    got = np.asarray(keep.reshape(-1)[:n] > 0)
+    np.testing.assert_array_equal(got, want)
