@@ -66,9 +66,15 @@ def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
-                   std: np.ndarray, max_boxes: int,
-                   flip: bool) -> Dict[str, np.ndarray]:
-    """Decode/resize/pad/normalize one sample to static shapes."""
+                   std: np.ndarray, max_boxes: int, flip: bool,
+                   use_native: bool = True) -> Dict[str, np.ndarray]:
+    """Decode/resize/pad/normalize one sample to static shapes.
+
+    When the native host library is available, resize + [0,1] scaling +
+    mean/std normalization + padding run as one fused multithreaded C++ pass
+    (``native/retinanet_host.cc``); the numpy/cv2 path is the fallback and
+    the correctness reference.
+    """
     image = sample.get("image")
     if image is None:
         image = _imread(sample["image_file"])
@@ -76,18 +82,26 @@ def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
 
     scale = image_size / max(ih, iw)
     nh, nw = max(1, round(ih * scale)), max(1, round(iw * scale))
-    image = _resize(image, nh, nw)
     boxes = sample["boxes"].astype(np.float32) * scale  # canvas pixels
     class_ids = sample["class_ids"].astype(np.int32)
 
     if flip:
-        image = image[:, ::-1]
+        # Mirror the source first (bilinear resize commutes with mirroring),
+        # so the fused native path sees a single contiguous uint8 input.
+        image = np.ascontiguousarray(image[:, ::-1])
         t, l, b, r = np.split(boxes, 4, axis=-1)
         boxes = np.concatenate([t, nw - r, b, nw - l], axis=-1)
 
-    canvas = np.zeros((image_size, image_size, 3), np.float32)
-    canvas[:nh, :nw] = image.astype(np.float32) / 255.0
-    canvas = (canvas - mean) / std
+    canvas = None
+    if use_native and image.dtype == np.uint8:
+        from retinanet_tpu import native
+        canvas = native.resize_normalize(image, image_size, nh, nw,
+                                         mean, std)
+    if canvas is None:
+        resized = _resize(image, nh, nw)
+        canvas = np.zeros((image_size, image_size, 3), np.float32)
+        canvas[:nh, :nw] = resized.astype(np.float32) / 255.0
+        canvas = (canvas - mean) / std
 
     boxes = boxes / image_size  # canvas-relative [0, 1]
     n = min(len(boxes), max_boxes)
