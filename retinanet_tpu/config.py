@@ -134,6 +134,11 @@ class NMSConfig:
     iou_threshold: float = 0.5  # utils.py:215
     max_output_size: int = 1000  # NMS_MAX_OUTPUT_SIZE utils.py:9
     top_k_per_level: int = 1000  # static pre-NMS top-k (replaces boolean_mask)
+    # Global cap on candidates entering NMS (across levels, after merging).
+    # The reference has no such cap, but it also caps NMS *output* at 1000;
+    # keeping only the top 1000 inputs deviates only when >1000 anchors score
+    # above the 0.5 threshold.  Bounds the suppression loop's sequential work.
+    pre_nms_top_k: int = 1000
     use_pallas: bool = True
 
 
@@ -193,7 +198,8 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     parser.add_argument("--grad-clip-norm", type=float, default=None)
     parser.add_argument(
         "--backbone", type=str, default="resnet_50",
-        choices=["resnet_50", "densenet_121", "densenet_169", "mobilenet_v2"])
+        choices=["resnet_50", "resnet_50_dense", "densenet_121",
+                 "densenet_169", "mobilenet_v2"])
     parser.add_argument(
         "--optimizer", type=str, default="momentum",
         choices=["momentum", "adam", "rmsprop"])

@@ -42,7 +42,8 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
                                 levels, image_size, nms_cfg)
         return nms_padded(decoded, iou_threshold=nms_cfg.iou_threshold,
                           max_output_size=nms_cfg.max_output_size,
-                          classwise=True, use_pallas=use_pallas)
+                          classwise=True, use_pallas=use_pallas,
+                          pre_nms_top_k=nms_cfg.pre_nms_top_k)
 
     return jax.jit(infer)
 
@@ -97,7 +98,8 @@ def benchmark(config: Config, batch_size: int = 8, steps: int = 20,
                                   num_classes)
     size = config.data.image_size
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((1, size, size, 3)),
+    # Fully-convolutional: init on a tiny dummy (param shapes are size-free).
+    params = model.init(rng, jnp.zeros((1, 64, 64, 3)),
                         training=False)["params"]
     fn = make_inference_fn(model, levels, config)
     images = jax.random.normal(rng, (batch_size, size, size, 3),

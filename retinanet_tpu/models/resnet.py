@@ -60,6 +60,62 @@ class ResNeXtBottleneck(nn.Module):
         return jax.nn.relu(x + identity)
 
 
+class ResNetBottleneck(nn.Module):
+    """Standard dense bottleneck (1×1 reduce → 3×3 → 1×1 expand, v1.5:
+    stride on the 3×3), GroupNorm + relu like the rest of the framework.
+
+    Not in the reference — added because ResNeXt's 4-channel grouped convs
+    utilize ~3% of the 128×128 MXU; dense 3×3 convs are the TPU-native
+    flagship for the ResNet-50-FPN north-star benchmark (BASELINE.md).
+    """
+
+    filters: int
+    project: Union[bool, str]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> Array:
+        identity = x
+        strides = 2 if self.project == "down" else 1
+        if self.project:
+            identity = ConvGN(self.filters * 4, kernel_size=1,
+                              strides=strides,
+                              dtype=self.dtype)(identity, training=training)
+        x = ConvGN(self.filters, kernel_size=1, activation="relu",
+                   dtype=self.dtype)(x, training=training)
+        x = ConvGN(self.filters, kernel_size=3, strides=strides,
+                   activation="relu", dtype=self.dtype)(x, training=training)
+        x = ConvGN(self.filters * 4, kernel_size=1,
+                   dtype=self.dtype)(x, training=training)
+        return jax.nn.relu(x + identity)
+
+
+class ResNet50(nn.Module):
+    """Dense ResNet-50 returning {'C1'..'C5'} — the MXU-friendly flagship
+    (see :class:`ResNetBottleneck`).  Same stem/stage layout as ResNeXt50."""
+
+    activation: str = "elu"
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> Dict[str, Array]:
+        x = ConvGN(64, kernel_size=7, strides=2, activation="relu",
+                   dtype=self.dtype)(x, training=training)
+        taps = {"C1": x}
+        x = max_pool_same(x, 3, 2)
+
+        stages = ((64, 3, False), (128, 4, True), (256, 6, True),
+                  (512, 3, True))
+        for stage_idx, (filters, depth, downsample) in enumerate(stages):
+            for i in range(depth):
+                project = ("down" if downsample else True) if i == 0 else False
+                x = ResNetBottleneck(filters=filters, project=project,
+                                     dtype=self.dtype)(x, training=training)
+            taps[f"C{stage_idx + 2}"] = x
+        return taps
+
+
 class ResNeXt50(nn.Module):
     """Returns {'C1'..'C5'} (reference ``ResNeXt_50``, ``resnet.py:169-215``).
 

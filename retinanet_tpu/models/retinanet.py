@@ -24,16 +24,20 @@ from retinanet_tpu.models.densenet import DenseNetBC121, DenseNetBC169
 from retinanet_tpu.models.fpn import FPN
 from retinanet_tpu.models.heads import ClassificationSubnet, RegressionSubnet
 from retinanet_tpu.models.mobilenet_v2 import MobileNetV2
-from retinanet_tpu.models.resnet import ResNeXt50
+from retinanet_tpu.models.resnet import ResNet50, ResNeXt50
 
-BACKBONES = ("resnet_50", "densenet_121", "densenet_169", "mobilenet_v2")
+BACKBONES = ("resnet_50", "resnet_50_dense", "densenet_121", "densenet_169",
+             "mobilenet_v2")
 
 
 def build_backbone(name: str, activation: str, dropout_rate: float,
                    dtype: Any = jnp.bfloat16) -> nn.Module:
-    """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too)."""
+    """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
+    ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
     if name == "resnet_50":
         return ResNeXt50(activation=activation, dtype=dtype)
+    if name == "resnet_50_dense":
+        return ResNet50(activation=activation, dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
                              dtype=dtype)

@@ -121,20 +121,25 @@ def nms_padded(
     max_output_size: int = 1000,
     classwise: bool = True,
     use_pallas: Optional[bool] = None,
+    pre_nms_top_k: Optional[int] = None,
 ) -> BoxesDecoded:
     """Batched, static-shape (class-wise) NMS over padded candidates.
 
     Exactly the reference's greedy semantics (``utils.py:198-220``): per
     class, IoU 0.5, at most ``max_output_size`` survivors, descending score.
     Invalid candidates participate with score −1 and a far-away coordinate
-    offset, so they can neither win nor suppress.
+    offset, so they can neither win nor suppress.  ``pre_nms_top_k`` caps the
+    (score-sorted) candidates entering suppression.
     """
-    def one_image(boxes, scores, class_ids, valid):
-        order = jnp.argsort(-jnp.where(valid, scores, -1.0))
+    n = decoded.scores.shape[-1]
+    k_in = min(pre_nms_top_k or n, n)
+
+    def sort_one(boxes, scores, class_ids, valid):
+        scores = jnp.where(valid, scores, -1.0)
+        top_scores, order = jax.lax.top_k(scores, k_in)
         boxes_s = boxes[order]
-        scores_s = scores[order]
         ids_s = class_ids[order]
-        valid_s = valid[order]
+        valid_s = top_scores > 0
 
         shifted = boxes_s
         if classwise:
@@ -142,23 +147,29 @@ def nms_padded(
             shifted = shifted + (ids_s[:, None] * 4.0).astype(boxes.dtype)
         # Park invalid boxes far away so they don't suppress anyone.
         shifted = jnp.where(valid_s[:, None], shifted, shifted - 1e4)
+        return boxes_s, top_scores, ids_s, valid_s, shifted
 
-        if use_pallas:
-            from retinanet_tpu.ops.pallas.nms_kernel import nms_keep_mask
-            keep = nms_keep_mask(shifted, iou_threshold)
-        else:
-            keep = _greedy_keep_mask(shifted, scores_s, iou_threshold)
-        keep = keep & valid_s
+    boxes_s, scores_s, ids_s, valid_s, shifted = jax.vmap(sort_one)(
+        decoded.boxes, decoded.scores, decoded.class_ids, decoded.valid)
 
-        out_scores = jnp.where(keep, scores_s, -1.0)
+    if use_pallas:
+        from retinanet_tpu.ops.pallas.nms_kernel import nms_keep_mask_batch
+        keep = nms_keep_mask_batch(shifted, iou_threshold)
+    else:
+        keep = jax.vmap(
+            lambda b, s: _greedy_keep_mask(b, s, iou_threshold))(
+                shifted, scores_s)
+    keep = keep & valid_s
+
+    def select_one(boxes, scores, ids, keep):
+        out_scores = jnp.where(keep, scores, -1.0)
         k = min(max_output_size, out_scores.shape[0])
         top_scores, top_idx = jax.lax.top_k(out_scores, k)
         return BoxesDecoded(
-            boxes=boxes_s[top_idx],
+            boxes=boxes[top_idx],
             scores=jnp.where(top_scores > 0, top_scores, 0.0),
-            class_ids=ids_s[top_idx],
+            class_ids=ids[top_idx],
             valid=top_scores > 0,
         )
 
-    return jax.vmap(one_image)(decoded.boxes, decoded.scores,
-                               decoded.class_ids, decoded.valid)
+    return jax.vmap(select_one)(boxes_s, scores_s, ids_s, keep)

@@ -92,6 +92,92 @@ def _nms_kernel(y1_ref, x1_ref, y2_ref, x2_ref, keep_ref, iou_scratch, *,
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
+def _nms_kernel_batch(y1_ref, x1_ref, y2_ref, x2_ref, keep_ref, iou_scratch,
+                      *, iou_threshold: float, num_tiles: int):
+    """Batched variant: refs are [num_tiles, B, TILE]; every sequential
+    suppression step processes all B images at once (the per-image decisions
+    are independent), so the sequential chain length is batch-size-free."""
+    b = y1_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, TILE), 1)
+
+    def iou3(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2):
+        # [B, T] × [B, T] → [B, T, T]
+        y_top = jnp.maximum(ay1[:, :, None], by1[:, None, :])
+        x_left = jnp.maximum(ax1[:, :, None], bx1[:, None, :])
+        y_bot = jnp.minimum(ay2[:, :, None], by2[:, None, :])
+        x_right = jnp.minimum(ax2[:, :, None], bx2[:, None, :])
+        ih = y_bot - y_top
+        iw = x_right - x_left
+        inter = jnp.where((ih > 0) & (iw > 0), ih * iw, 0.0)
+        area_a = ((ay2 - ay1) * (ax2 - ax1))[:, :, None]
+        area_b = ((by2 - by1) * (bx2 - bx1))[:, None, :]
+        union = area_a + area_b - inter
+        return inter / jnp.where(union > 0, union, 1.0)
+
+    def tile_body(ti, _):
+        ty1, tx1 = y1_ref[ti], x1_ref[ti]
+        ty2, tx2 = y2_ref[ti], x2_ref[ti]
+        active = jnp.ones((b, TILE), jnp.float32)
+
+        def prev_body(tj, active):
+            iou = iou3(ty1, tx1, ty2, tx2,
+                       y1_ref[tj], x1_ref[tj], y2_ref[tj], x2_ref[tj])
+            prev_keep = keep_ref[tj][:, None, :]  # [B, 1, T]
+            hit = jnp.max(jnp.where(
+                (iou > iou_threshold) & (prev_keep > 0), 1.0, 0.0), axis=2)
+            hit = jnp.where(tj < ti, hit, 0.0)
+            return active * (1.0 - hit)
+
+        active = jax.lax.fori_loop(0, num_tiles, prev_body, active)
+
+        iou_scratch[:, :, :] = iou3(ty1, tx1, ty2, tx2, ty1, tx1, ty2, tx2)
+
+        def inner_body(k, active):
+            row = iou_scratch[:, pl.ds(k, 1), :][:, 0, :]       # [B, T]
+            k_active = jnp.sum(jnp.where(lane == k, active, 0.0),
+                               axis=1, keepdims=True)           # [B, 1]
+            suppress = (row > iou_threshold) & (lane > k) & (k_active > 0)
+            return active * (1.0 - suppress.astype(jnp.float32))
+
+        active = jax.lax.fori_loop(0, TILE, inner_body, active)
+        keep_ref[ti] = active
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_keep_mask_batch(boxes: Array, iou_threshold: float = 0.5) -> Array:
+    """Batched keep mask: score-sorted corner boxes [B, N, 4] → [B, N] bool.
+
+    One kernel invocation for the whole batch; sequential suppression steps
+    are shared across images (lanes = box slots, sublanes = images)."""
+    bsz, n, _ = boxes.shape
+    num_tiles = -(-n // TILE)
+    padded = num_tiles * TILE
+    if padded != n:
+        pad = jnp.full((bsz, padded - n, 4), -1e6, boxes.dtype)
+        pad = pad + jnp.arange(padded - n,
+                               dtype=boxes.dtype)[None, :, None] * 8.0
+        boxes = jnp.concatenate([boxes, pad], axis=1)
+
+    # [B, nt*T, 4] → 4 planes of [nt, B, T].
+    coords = [boxes[:, :, i].reshape(bsz, num_tiles, TILE)
+              .transpose(1, 0, 2).astype(jnp.float32) for i in range(4)]
+
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel_batch,
+                          iou_threshold=float(iou_threshold),
+                          num_tiles=num_tiles),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, bsz, TILE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bsz, TILE, TILE), jnp.float32)],
+    )(*coords)
+
+    return keep.transpose(1, 0, 2).reshape(bsz, padded)[:, :n] > 0
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold",))
 def nms_keep_mask(boxes: Array, iou_threshold: float = 0.5) -> Array:
     """keep mask [N] for score-sorted corner boxes [N, 4] (N padded to 128).

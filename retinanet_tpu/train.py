@@ -175,9 +175,13 @@ def _class_iou(targets: Array, probs: Array, mask: Array) -> Array:
 
 def create_train_state(model: RetinaNet, config: Config,
                        rng: Array) -> TrainState:
-    """Init parameters + optimizer state on a host-shaped dummy batch."""
-    image_size = config.data.image_size
-    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    """Init parameters + optimizer state.
+
+    The model is fully convolutional — parameter shapes don't depend on the
+    image size — so init uses a tiny 64px dummy: compiling the init program
+    at full 640px costs ~13 minutes on TPU for nothing.
+    """
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init(rng, dummy, training=False)
     params = variables["params"]
     tx = build_optimizer(config.train)

@@ -11,7 +11,7 @@ from retinanet_tpu.models.densenet import DenseNetBC121
 from retinanet_tpu.models.fpn import FPN
 from retinanet_tpu.models.heads import ClassificationSubnet, RegressionSubnet
 from retinanet_tpu.models.mobilenet_v2 import MobileNetV2
-from retinanet_tpu.models.resnet import ResNeXt50
+from retinanet_tpu.models.resnet import ResNet50, ResNeXt50
 from retinanet_tpu.models.retinanet import RetinaNet, l2_regularization
 
 F32 = jnp.float32
@@ -27,6 +27,7 @@ def _init_apply(module, x, training=False):
 @pytest.mark.parametrize("cls,kwargs", [
     (MobileNetV2, dict(activation="elu", dropout_rate=0.2)),
     (ResNeXt50, dict(activation="elu")),
+    (ResNet50, dict(activation="elu")),
     (DenseNetBC121, dict(activation="elu", dropout_rate=0.2)),
 ])
 def test_backbone_level_strides(cls, kwargs):

@@ -120,6 +120,61 @@ def test_decode_levels_merges():
     assert out.boxes.shape == (1, 78, 4)
 
 
+def test_batched_pallas_kernel_matches_fallback_interpret():
+    """Batched kernel (interpret mode) vs per-image JAX fallback."""
+    from retinanet_tpu.ops.pallas import nms_kernel as nk
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(7)
+    bsz, n = 3, 150
+    centers = rng.rand(bsz, n, 2) * 0.8 + 0.1
+    sizes = rng.rand(bsz, n, 2) * 0.25 + 0.05
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                           -1).astype(np.float32)
+    scores = -np.sort(-rng.rand(bsz, n).astype(np.float32), axis=1)
+
+    want = np.stack([
+        np.asarray(_greedy_keep_mask(jnp.asarray(boxes[i]),
+                                     jnp.asarray(scores[i]), 0.5))
+        for i in range(bsz)])
+
+    num_tiles = -(-n // nk.TILE)
+    padded = num_tiles * nk.TILE
+    pad = np.full((bsz, padded - n, 4), -1e6, np.float32)
+    pad += np.arange(padded - n, dtype=np.float32)[None, :, None] * 8.0
+    all_boxes = np.concatenate([boxes, pad], 1)
+    coords = [jnp.asarray(all_boxes[:, :, i].reshape(bsz, num_tiles, nk.TILE)
+                          .transpose(1, 0, 2)) for i in range(4)]
+    keep = pl.pallas_call(
+        functools.partial(nk._nms_kernel_batch, iou_threshold=0.5,
+                          num_tiles=num_tiles),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, bsz, nk.TILE),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bsz, nk.TILE, nk.TILE), jnp.float32)],
+        interpret=True,
+    )(*coords)
+    got = np.asarray(keep).transpose(1, 0, 2).reshape(bsz, padded)[:, :n] > 0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pre_nms_top_k():
+    n = 8
+    boxes = np.zeros((1, n, 4), np.float32)
+    boxes[0, :, 2:] = 0.1  # small identical boxes at origin... make distinct
+    for i in range(n):
+        boxes[0, i] = [i * 0.1, 0.0, i * 0.1 + 0.05, 0.05]
+    scores = np.linspace(0.9, 0.6, n, dtype=np.float32)[None]
+    ids = np.zeros((1, n), np.int32)
+    valid = np.ones((1, n), bool)
+    out = nms_padded(BoxesDecoded(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(ids), jnp.asarray(valid)),
+                     max_output_size=8, pre_nms_top_k=4)
+    # Only the top-4 candidates could survive.
+    assert int(np.asarray(out.valid).sum()) == 4
+
+
 def test_pallas_kernel_matches_fallback_interpret():
     """Run the Pallas NMS kernel in interpreter mode on CPU and compare
     against the pure-JAX greedy fallback."""
