@@ -8,14 +8,18 @@ from retinanet_tpu.ops.nms import decode_levels, nms_padded
 def log(*a):
     print(*a, flush=True)
 
+import dataclasses
+backbone = sys.argv[2] if len(sys.argv) > 2 else "resnet_50_dense"
 config = Config()
+config = dataclasses.replace(
+    config, model=dataclasses.replace(config.model, backbone=backbone))
 levels = build_levels(config.anchors)
 model = RetinaNet.from_config(config.model, levels.num_anchors, 80)
 size = 640
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 rng = jax.random.PRNGKey(0)
 t0 = time.perf_counter()
-params = model.init(rng, jnp.zeros((1, size, size, 3)), training=False)["params"]
+params = model.init(rng, jnp.zeros((1, 64, 64, 3)), training=False)["params"]
 jax.device_get(jax.tree_util.tree_leaves(params)[0])
 log("init done", time.perf_counter() - t0)
 images = jax.random.normal(rng, (B, size, size, 3), jnp.float32)

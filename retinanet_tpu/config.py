@@ -122,6 +122,10 @@ class TrainConfig:
     steps_per_epoch: Optional[int] = None  # None = full pass over loader
     checkpoint_every: int = 500  # train.py:266-267
     log_every: int = 50
+    # Write GT/predicted box-overlay PNGs at every checkpoint (reference
+    # build_summary, train.py:164-187).  Off by default: it runs an extra
+    # forward+decode program.
+    image_summaries: bool = False
     experiment: str = "experiments/default"
     seed: int = 42
 

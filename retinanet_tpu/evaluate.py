@@ -1,0 +1,73 @@
+"""Evaluation CLI — mAP over a dataset from a training checkpoint.
+
+A capability the reference lacks entirely (TRAIN-only ``model_fn``,
+``/root/reference/train.py:207``); required by the north-star mAP-parity
+target.
+
+Usage::
+
+    python -m retinanet_tpu.evaluate --dataset shapes /tmp/shapes 64 256 \
+        --experiment experiments/run1 [--max-images 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax
+
+from retinanet_tpu.config import Config, _apply_dotted
+from retinanet_tpu.data.loaders.inferred import Inferred
+from retinanet_tpu.eval_coco import evaluate_model
+from retinanet_tpu.infer import Detector
+from retinanet_tpu.models.retinanet import RetinaNet
+from retinanet_tpu.ops.anchors import build_levels
+from retinanet_tpu.train import Trainer, create_train_state
+
+logger = logging.getLogger(__name__)
+
+
+def load_detector(config: Config, loader, step=None) -> Detector:
+    """Build a Detector from the experiment's latest (or given) checkpoint."""
+    trainer = Trainer(config, loader=loader)
+    state = create_train_state(trainer.model, config, jax.random.PRNGKey(0))
+    state = trainer.restore_checkpoint(state, step)
+    return Detector(config, state.params, loader.class_names)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, nargs="+", required=True)
+    parser.add_argument("--experiment", type=str, required=True)
+    parser.add_argument("--scale", type=int, default=600)
+    parser.add_argument("--backbone", type=str, default="resnet_50")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--score-threshold", type=float, default=None)
+    parser.add_argument("--step", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    config = Config()
+    for dotted, value in [
+        ("data.dataset", tuple(args.dataset)),
+        ("data.image_size", args.scale),
+        ("data.batch_size", args.batch_size),
+        ("model.backbone", args.backbone),
+        ("train.experiment", args.experiment),
+    ]:
+        config = _apply_dotted(config, dotted, value)
+
+    loader = Inferred(args.dataset[0], args.dataset[1:])
+    detector = load_detector(config, loader, args.step)
+    metrics = evaluate_model(detector, loader, config,
+                             max_images=args.max_images,
+                             score_threshold=args.score_threshold)
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -220,6 +220,7 @@ class Trainer:
             training=True, seed=config.train.seed)
         self.writer = MetricsWriter(config.train.experiment)
         self._checkpointer = None
+        self._infer_fn = None
 
     # -- checkpointing -----------------------------------------------------
     @property
@@ -270,6 +271,46 @@ class Trainer:
         logger.info("restored checkpoint from step %d", step)
         return TrainState(restored["step"], restored["params"],
                           restored["opt_state"])
+
+    # -- image summaries -----------------------------------------------------
+    def write_image_summaries(self, state: TrainState, batch: Batch):
+        """GT vs predicted box overlays + classmap heat maps as PNGs
+        (reference ``build_summary`` / ``draw_classmap``,
+        ``train.py:52-85,164-187`` — rendered post-step on host instead of
+        via an in-graph tf.py_func callback)."""
+        from retinanet_tpu.infer import make_inference_fn
+        from retinanet_tpu.utils.draw import draw_bounding_boxes
+
+        if self._infer_fn is None:
+            self._infer_fn = make_inference_fn(
+                self.model, self.levels, self.config,
+                use_pallas=jax.default_backend() == "tpu")
+        out = jax.device_get(self._infer_fn(state.params,
+                                            jnp.asarray(batch.images)))
+        step = int(state.step)
+        out_dir = os.path.join(self.config.train.experiment, "summaries",
+                               f"step_{step}")
+        os.makedirs(out_dir, exist_ok=True)
+        mean = np.asarray(self.config.data.mean)
+        std = np.asarray(self.config.data.std)
+        try:
+            import cv2
+        except ImportError:
+            return
+        names = self.loader.class_names
+        for i in range(min(2, batch.images.shape[0])):
+            img = np.clip(batch.images[i] * std + mean, 0, 1)
+            gt_valid = batch.box_mask[i]
+            gt = draw_bounding_boxes(img, batch.boxes[i][gt_valid],
+                                     batch.class_ids[i][gt_valid], names)
+            cv2.imwrite(os.path.join(out_dir, f"{i}_true.png"),
+                        gt[..., ::-1])
+            pv = out.valid[i]
+            pred = draw_bounding_boxes(img, out.boxes[i][pv],
+                                       out.class_ids[i][pv], names,
+                                       scores=out.scores[i][pv])
+            cv2.imwrite(os.path.join(out_dir, f"{i}_pred.png"),
+                        pred[..., ::-1])
 
     # -- training ----------------------------------------------------------
     def fit(self, epochs: Optional[int] = None,
@@ -324,6 +365,8 @@ class Trainer:
                         float(metrics["regularization_loss"]))
                 if step % cfg.train.checkpoint_every == 0:
                     self.save_checkpoint(state)
+                    if cfg.train.image_summaries:
+                        self.write_image_summaries(state, batch)
         self.save_checkpoint(state)
         self.wait_for_checkpoints()
         return state

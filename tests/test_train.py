@@ -136,6 +136,27 @@ def test_dp_mesh_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_train_step_focal_loss_decreases(tmp_path):
+    """Focal loss — implemented-but-disabled in the reference because it
+    wouldn't train at batch 1 (README.md:3-15) — must optimize here."""
+    from retinanet_tpu.config import LossConfig
+    import dataclasses
+    cfg = _tiny_config(tmp_path)
+    cfg = dataclasses.replace(cfg, loss=LossConfig(class_losses=("focal",)))
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(model, levels, cfg))
+    np_rng = np.random.RandomState(0)
+    args = tuple(jnp.asarray(x) for x in _random_batch(np_rng, 2, 64, 8))
+    losses = []
+    for _ in range(6):
+        state, metrics = step_fn(state, *args, jax.random.PRNGKey(1))
+        losses.append(float(metrics["class_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end_with_checkpoint(tmp_path):
     cfg = _tiny_config(tmp_path)
