@@ -50,18 +50,20 @@ f2j = jax.jit(f2)
 timeit("fwd+decode", lambda: f2j(params, images),
        lambda o: jax.device_get(o.scores))
 
-# stage 3: + jax fallback NMS
+# stage 3: + jax fallback NMS (with production pre-NMS cap)
 def f3(p, x):
     d = f2(p, x)
-    return nms_padded(d, use_pallas=False)
+    return nms_padded(d, use_pallas=False,
+                      pre_nms_top_k=config.nms.pre_nms_top_k)
 f3j = jax.jit(f3)
 timeit("fwd+decode+jaxnms", lambda: f3j(params, images),
        lambda o: jax.device_get(o.scores))
 
-# stage 4: + pallas NMS
+# stage 4: + pallas NMS (with production pre-NMS cap)
 def f4(p, x):
     d = f2(p, x)
-    return nms_padded(d, use_pallas=True)
+    return nms_padded(d, use_pallas=True,
+                      pre_nms_top_k=config.nms.pre_nms_top_k)
 f4j = jax.jit(f4)
 timeit("fwd+decode+pallasnms", lambda: f4j(params, images),
        lambda o: jax.device_get(o.scores))
