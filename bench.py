@@ -26,7 +26,7 @@ def main():
         config, model=dataclasses.replace(config.model,
                                           backbone="resnet_50_dense"))
     on_tpu = jax.default_backend() == "tpu"
-    batch_size = 32 if on_tpu else 2
+    batch_size = 64 if on_tpu else 2
     steps = 20 if on_tpu else 2
     result = benchmark(config, batch_size=batch_size, steps=steps,
                        warmup=3 if on_tpu else 1, num_classes=80)
