@@ -114,6 +114,12 @@ class TrainConfig:
 
     optimizer: str = "momentum"  # momentum | adam | rmsprop
     learning_rate: float = 1e-2  # train.py:90
+    # LR schedule (reference: constant only, with a "try cyclical?" TODO at
+    # train.py:44; all of these resolve that TODO).
+    schedule: str = "constant"  # constant | cosine | warmup_cosine | cyclical
+    warmup_steps: int = 500
+    schedule_steps: int = 100_000  # horizon for cosine/cyclical
+    min_lr_fraction: float = 0.01
     momentum: float = 0.9  # train.py:115
     rmsprop_decay: float = 0.9  # train.py:117
     rmsprop_momentum: float = 0.9

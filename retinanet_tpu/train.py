@@ -52,16 +52,40 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def build_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """LR schedule: the reference only has a constant LR (train.py:90) and a
+    'try cyclical?' TODO (train.py:44); cosine/warmup/cyclical resolve it."""
+    base, floor = cfg.learning_rate, cfg.learning_rate * cfg.min_lr_fraction
+    if cfg.schedule == "constant":
+        return optax.constant_schedule(base)
+    if cfg.schedule == "cosine":
+        return optax.cosine_decay_schedule(base, cfg.schedule_steps,
+                                           alpha=cfg.min_lr_fraction)
+    if cfg.schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=floor, peak_value=base,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=cfg.schedule_steps, end_value=floor)
+    if cfg.schedule == "cyclical":
+        half = max(1, cfg.schedule_steps // 2)
+        return optax.join_schedules([
+            optax.linear_schedule(floor, base, half),
+            optax.linear_schedule(base, floor, half),
+        ], boundaries=[half])
+    raise ValueError(f"invalid schedule {cfg.schedule!r}")
+
+
 def build_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """momentum(0.9) / rmsprop(0.9, 0.9) / adam + optional global-norm clip
-    (reference ``train.py:111-134``)."""
+    (reference ``train.py:111-134``), driven by the configured LR schedule."""
+    schedule = build_schedule(cfg)
     if cfg.optimizer == "momentum":
-        tx = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+        tx = optax.sgd(schedule, momentum=cfg.momentum)
     elif cfg.optimizer == "rmsprop":
-        tx = optax.rmsprop(cfg.learning_rate, decay=cfg.rmsprop_decay,
+        tx = optax.rmsprop(schedule, decay=cfg.rmsprop_decay,
                            momentum=cfg.rmsprop_momentum)
     elif cfg.optimizer == "adam":
-        tx = optax.adam(cfg.learning_rate)
+        tx = optax.adam(schedule)
     else:
         raise ValueError(f"invalid optimizer {cfg.optimizer!r}")
     if cfg.grad_clip_norm is not None:
@@ -110,6 +134,7 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config):
     num_classes = model.num_classes
     anchor_maps = jnp.asarray(_flat_anchor_maps(levels, image_size))
     tx = build_optimizer(config.train)
+    schedule = build_schedule(config.train)
 
     def step_fn(state: TrainState, images: Array, boxes: Array,
                 class_ids: Array, box_mask: Array,
@@ -151,7 +176,7 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config):
             "regr_loss": regr_loss,
             "regularization_loss": reg_loss,
             "grad_norm": optax.global_norm(grads),
-            "learning_rate": jnp.asarray(config.train.learning_rate),
+            "learning_rate": schedule(state.step),
             "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
             # Classmap mean IoU at threshold .5 (reference build_metrics).
             "class_iou": _class_iou(ct, probs, tm),
@@ -375,6 +400,8 @@ class Trainer:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     config = config_from_args(argv)
+    from retinanet_tpu.utils.cli import log_args
+    log_args(config)
     trainer = Trainer(config)
     trainer.fit()
 

@@ -1,0 +1,35 @@
+"""Small CLI utilities (reference ``utils.py:16-19`` colored arg echo and
+``utils.py:311-315`` GPU enumeration)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+def log_args(args: Any) -> None:
+    """Colored echo of parsed arguments / config (reference ``log_args``).
+
+    Accepts an argparse.Namespace or any dataclass; falls back to plain
+    print when termcolor is unavailable.
+    """
+    try:
+        from termcolor import colored
+    except ImportError:  # pragma: no cover
+        colored = lambda s, _c: s  # noqa: E731
+
+    if dataclasses.is_dataclass(args):
+        items = dataclasses.asdict(args).items()
+    else:
+        items = vars(args).items()
+    print(colored("arguments:", "yellow"))
+    for key, value in sorted(items):
+        print(colored(f"\t{key}:", "yellow"), value)
+
+
+def get_num_devices() -> int:
+    """TPU-native ``get_num_gpus`` (reference ``utils.py:311-315``): count of
+    accelerator devices visible to JAX."""
+    import jax
+
+    return len(jax.devices())

@@ -1,0 +1,78 @@
+"""Parallel backends: mesh helpers + shard_map step vs single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retinanet_tpu.config import (
+    AssignConfig, Config, DataConfig, ModelConfig, TrainConfig)
+from retinanet_tpu.models.retinanet import RetinaNet
+from retinanet_tpu.ops.anchors import build_levels
+from retinanet_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicated, shard_batch)
+from retinanet_tpu.parallel.shard_map_step import make_shard_map_train_step
+from retinanet_tpu.train import create_train_state, make_train_step
+
+
+def _cfg(tmp_path):
+    return Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                          dropout_rate=0.0, compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=8),
+        assign=AssignConfig(max_boxes=8),
+        train=TrainConfig(experiment=str(tmp_path), learning_rate=1e-2),
+    )
+
+
+def _batch(rng, batch, size, max_boxes):
+    images = rng.randn(batch, size, size, 3).astype(np.float32)
+    boxes = np.zeros((batch, max_boxes, 4), np.float32)
+    boxes[:, 0] = [0.2, 0.2, 0.7, 0.7]
+    ids = np.zeros((batch, max_boxes), np.int32)
+    mask = np.zeros((batch, max_boxes), bool)
+    mask[:, 0] = True
+    return images, boxes, ids, mask
+
+
+def test_mesh_helpers():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    x = np.zeros((8, 4), np.float32)
+    sharded = shard_batch(x, mesh)
+    assert sharded.sharding.spec == batch_sharding(mesh).spec
+    y = jax.device_put(np.zeros(3), replicated(mesh))
+    assert y.sharding.is_fully_replicated
+
+
+def test_shard_map_step_matches_single_device(tmp_path):
+    cfg = _cfg(tmp_path)
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+
+    np_rng = np.random.RandomState(0)
+    images, boxes, ids, mask = _batch(np_rng, 8, 64, 8)
+    images += np_rng.randn(*images.shape).astype(np.float32) * 0.1
+    rng = jax.random.PRNGKey(5)
+
+    # Single-device reference step.
+    state0 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s1, m1 = jax.jit(make_train_step(model, levels, cfg))(
+        state0, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(ids),
+        jnp.asarray(mask), rng)
+
+    # shard_map over the 8-device mesh.
+    mesh = make_mesh()
+    step = make_shard_map_train_step(model, levels, cfg, mesh)
+    state0b = jax.device_put(
+        create_train_state(model, cfg, jax.random.PRNGKey(0)),
+        replicated(mesh))
+    db = shard_batch((images, boxes, ids, mask), mesh)
+    s8, m8 = step(state0b, *db, jax.device_put(rng, replicated(mesh)))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m8["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m8["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
