@@ -31,7 +31,17 @@ logger = logging.getLogger(__name__)
 
 def load_detector(config: Config, loader, step=None) -> Detector:
     """Build a Detector from the experiment's latest (or given) checkpoint."""
+    import os
+
     trainer = Trainer(config, loader=loader)
+    if step is not None:
+        # Fail fast on a missing checkpoint — before the (expensive)
+        # parameter init compiles anything.
+        path = os.path.join(trainer.checkpoint_dir, f"step_{step}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"no checkpoint at step {step} in {trainer.checkpoint_dir} "
+                f"(latest available: {trainer.latest_checkpoint_step()})")
     state = create_train_state(trainer.model, config, jax.random.PRNGKey(0))
     state = trainer.restore_checkpoint(state, step)
     return Detector(config, state.params, loader.class_names)

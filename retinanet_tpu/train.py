@@ -286,10 +286,16 @@ class Trainer:
 
     def restore_checkpoint(self, state: TrainState,
                            step: Optional[int] = None) -> TrainState:
+        explicit = step is not None
         step = step if step is not None else self.latest_checkpoint_step()
         if step is None:
             return state
         path = os.path.join(self.checkpoint_dir, f"step_{step}")
+        if explicit and not os.path.isdir(path):
+            available = self.latest_checkpoint_step()
+            raise FileNotFoundError(
+                f"no checkpoint at step {step} in {self.checkpoint_dir} "
+                f"(latest available: {available})")
         template = {"step": state.step, "params": state.params,
                     "opt_state": state.opt_state}
         restored = self._ckpt().restore(path, template)
@@ -374,7 +380,9 @@ class Trainer:
                 state, metrics = jitted(state, *device_batch, step_rng)
 
                 step = int(state.step)
-                if step % cfg.train.log_every == 0:
+                # Log on cadence and always on the first step, so short runs
+                # still produce metrics records.
+                if step % cfg.train.log_every == 0 or step == 1:
                     metrics = jax.device_get(metrics)
                     now = time.time()
                     metrics["images_per_sec"] = (
