@@ -41,20 +41,21 @@ def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _match_image(det_boxes, det_scores, gt_boxes, iou_threshold):
     """Greedy match score-sorted detections to GT; returns tp flags aligned
-    with the detections in descending-score order."""
+    with the detections in descending-score order.
+
+    COCO semantics: each detection takes the highest-IoU still-unmatched GT
+    with IoU ≥ threshold (ties to the earlier GT)."""
     order = np.argsort(-det_scores, kind="stable")
     iou = _box_iou_matrix(det_boxes[order], gt_boxes)
     gt_used = np.zeros(len(gt_boxes), bool)
     tp = np.zeros(len(order), bool)
     for d in range(len(order)):
-        best, best_iou = -1, iou_threshold
-        for g in range(len(gt_boxes)):
-            if gt_used[g]:
-                continue
-            if iou[d, g] >= best_iou:
-                best, best_iou = g, iou[d, g]
-        if best >= 0:
-            gt_used[best] = True
+        row = np.where(gt_used, -1.0, iou[d])
+        if row.size == 0:
+            continue
+        g = int(np.argmax(row))
+        if row[g] >= iou_threshold:
+            gt_used[g] = True
             tp[d] = True
     return tp, det_scores[order]
 
