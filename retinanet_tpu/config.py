@@ -216,6 +216,15 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--class-loss", type=str, nargs="+", default=None,
+        choices=["bce", "focal", "dice", "jaccard", "fixed_iou",
+                 "balanced_bce"],
+        help="classification loss mix (default: bce dice, the reference's "
+             "active config; 'focal' is the paper loss)")
+    parser.add_argument(
+        "--schedule", type=str, default="constant",
+        choices=["constant", "cosine", "warmup_cosine", "cyclical"])
     args = parser.parse_args(argv)
 
     cfg = Config()
@@ -232,6 +241,9 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("data.batch_size", args.batch_size),
         ("train.steps_per_epoch", args.steps_per_epoch),
         ("train.seed", args.seed),
+        ("train.schedule", args.schedule),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
+    if args.class_loss is not None:
+        cfg = _apply_dotted(cfg, "loss.class_losses", tuple(args.class_loss))
     return cfg

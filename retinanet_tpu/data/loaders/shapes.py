@@ -52,12 +52,16 @@ class Shapes(Base):
 
     def __init__(self, path: Optional[str], num_samples: int,
                  image_size: Tuple[int, int], seed: int = 42,
-                 write: bool = False):
+                 write: bool = False, cache: bool = True):
         self._path = path
         self._num_samples = int(num_samples)
         self._image_size = tuple(int(s) for s in image_size)
         self._seed = seed
         self._write = write and path is not None
+        # Samples are deterministic per index; cache them so epochs after the
+        # first skip the cv2 drawing work (the reference re-renders PNGs on
+        # every pass, shapes.py:31-53).
+        self._cache = {} if cache else None
 
     @property
     def class_names(self) -> List[str]:
@@ -135,4 +139,9 @@ class Shapes(Base):
 
     def __iter__(self) -> Iterator[Dict]:
         for i in range(self._num_samples):
-            yield self._sample(i)
+            if self._cache is None:
+                yield self._sample(i)
+            else:
+                if i not in self._cache:
+                    self._cache[i] = self._sample(i)
+                yield self._cache[i]

@@ -22,8 +22,6 @@ from retinanet_tpu.config import Config, _apply_dotted
 from retinanet_tpu.data.loaders.inferred import Inferred
 from retinanet_tpu.eval_coco import evaluate_model
 from retinanet_tpu.infer import Detector
-from retinanet_tpu.models.retinanet import RetinaNet
-from retinanet_tpu.ops.anchors import build_levels
 from retinanet_tpu.train import Trainer, create_train_state
 
 logger = logging.getLogger(__name__)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from retinanet_tpu.config import AnchorConfig, AssignConfig
+from retinanet_tpu.config import AssignConfig
 from retinanet_tpu.ops import boxes as box_ops
 from retinanet_tpu.ops.anchors import Levels
 

@@ -13,11 +13,9 @@ needed.  Verified bit-compatible with the single-device step in
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
