@@ -54,7 +54,14 @@ def main(argv=None):
     parser.add_argument("--backbone", type=str, default="resnet_50")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--max-images", type=int, default=None)
-    parser.add_argument("--score-threshold", type=float, default=None)
+    parser.add_argument("--score-threshold", type=float, default=None,
+                        help="post-NMS score filter on reported detections")
+    parser.add_argument(
+        "--decode-threshold", type=float, default=0.05,
+        help="decode validity threshold; mAP integrates the PR curve over "
+             "scores, so keep this low (COCO practice: 0.05).  The "
+             "reference's 0.5 is a *display* threshold (utils.py:186) and "
+             "truncates the curve.")
     parser.add_argument("--step", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -65,6 +72,7 @@ def main(argv=None):
         ("data.batch_size", args.batch_size),
         ("model.backbone", args.backbone),
         ("train.experiment", args.experiment),
+        ("nms.score_threshold", args.decode_threshold),
     ]:
         config = _apply_dotted(config, dotted, value)
 
