@@ -1,0 +1,95 @@
+"""COCO-json and Pascal-XML loader tests on synthetic fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from retinanet_tpu.data.loaders.coco import COCO
+from retinanet_tpu.data.loaders.pascal import Pascal
+
+
+@pytest.fixture
+def coco_fixture(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    ann = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 100, "height": 80},
+            {"id": 2, "file_name": "b.jpg", "width": 50, "height": 50},
+            {"id": 3, "file_name": "c.jpg", "width": 50, "height": 50},
+        ],
+        # Non-contiguous category ids on purpose: must be densely re-indexed
+        # in sorted order (reference coco.py:13,57).
+        "categories": [
+            {"id": 7, "name": "cat"},
+            {"id": 3, "name": "dog"},
+            {"id": 21, "name": "bird"},
+        ],
+        "annotations": [
+            # [left, top, w, h] → expect [t, l, b, r].
+            {"id": 1, "image_id": 1, "category_id": 7,
+             "bbox": [10, 20, 30, 40], "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 3,
+             "bbox": [0, 0, 5, 5], "iscrowd": 0},
+            {"id": 3, "image_id": 1, "category_id": 21,
+             "bbox": [1, 1, 0.5, 10], "iscrowd": 0},  # degenerate: skipped
+            {"id": 4, "image_id": 2, "category_id": 7,
+             "bbox": [5, 5, 10, 10], "iscrowd": 1},   # crowd: skipped
+        ],
+    }
+    ann_path = tmp_path / "instances.json"
+    ann_path.write_text(json.dumps(ann))
+    return str(ann_path), str(img_dir)
+
+
+def test_coco_loader(coco_fixture):
+    ann_path, img_dir = coco_fixture
+    dl = COCO(ann_path, img_dir)
+    # Categories sorted by id: 3=dog, 7=cat, 21=bird.
+    assert dl.class_names == ["dog", "cat", "bird"]
+    assert dl.num_classes == 3
+
+    samples = list(dl)
+    # Image 2 has only a crowd ann → skipped; image 3 has none → skipped.
+    assert len(samples) == 1
+    s = samples[0]
+    assert s["image_file"].endswith("a.jpg")
+    # bbox [10,20,30,40] → [t=20, l=10, b=60, r=40]; degenerate one dropped.
+    np.testing.assert_allclose(s["boxes"],
+                               [[20, 10, 60, 40], [0, 0, 5, 5]])
+    np.testing.assert_array_equal(s["class_ids"], [1, 0])  # cat→1, dog→0
+    assert len(dl) == 1
+
+
+@pytest.fixture
+def pascal_fixture(tmp_path):
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "ImageSets" / "Main" / "trainval.txt").write_text(
+        "img001\n")
+    xml = """<annotation>
+      <object><name>dog</name>
+        <bndbox><ymin>10</ymin><xmin>20</xmin><ymax>50</ymax><xmax>60</xmax>
+        </bndbox></object>
+      <object><name>person</name>
+        <bndbox><ymin>1</ymin><xmin>2</xmin><ymax>3</ymax><xmax>4</xmax>
+        </bndbox></object>
+    </annotation>"""
+    (tmp_path / "Annotations" / "img001.xml").write_text(xml)
+    return str(tmp_path)
+
+
+def test_pascal_loader(pascal_fixture):
+    dl = Pascal(pascal_fixture, "trainval")
+    assert dl.num_classes == 20
+    samples = list(dl)
+    assert len(samples) == 1
+    s = samples[0]
+    assert s["image_file"].endswith("img001.jpg")
+    np.testing.assert_allclose(s["boxes"], [[10, 20, 50, 60], [1, 2, 3, 4]])
+    assert s["class_ids"][0] == dl.class_names.index("dog")
+    assert s["class_ids"][1] == dl.class_names.index("person")
+    assert len(dl) == 1
