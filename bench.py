@@ -12,6 +12,8 @@ BASELINE_IMAGES_PER_SEC = 2000.0
 
 
 def main():
+    from retinanet_tpu.utils.cli import enable_compilation_cache
+    enable_compilation_cache()
     import dataclasses
 
     import jax

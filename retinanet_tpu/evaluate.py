@@ -47,6 +47,8 @@ def load_detector(config: Config, loader, step=None) -> Detector:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from retinanet_tpu.utils.cli import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, nargs="+", required=True)
     parser.add_argument("--experiment", type=str, required=True)

@@ -406,6 +406,8 @@ class Trainer:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from retinanet_tpu.utils.cli import enable_compilation_cache
+    enable_compilation_cache()
     config = config_from_args(argv)
     from retinanet_tpu.utils.cli import log_args
     log_args(config)

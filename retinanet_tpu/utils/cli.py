@@ -27,6 +27,22 @@ def log_args(args: Any) -> None:
         print(colored(f"\t{key}:", "yellow"), value)
 
 
+def enable_compilation_cache(path: str = "~/.cache/retinanet_tpu_xla") -> None:
+    """Persistent XLA compilation cache: successive CLI invocations (train →
+    evaluate → bench) reuse compiled executables instead of paying minutes of
+    recompilation each.  Safe no-op if unsupported."""
+    import os
+
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - best effort
+        pass
+
+
 def get_num_devices() -> int:
     """TPU-native ``get_num_gpus`` (reference ``utils.py:311-315``): count of
     accelerator devices visible to JAX."""
