@@ -35,13 +35,13 @@ def prob_histograms(class_targets: Array, class_probs: Array,
     bg_w = w * (class_targets == 0)
     bins = jnp.clip((class_probs * HIST_BINS).astype(jnp.int32), 0,
                     HIST_BINS - 1)
-    one_hot = jnp.eye(HIST_BINS, dtype=jnp.float32)[bins]
-    return {
-        "prob_fg_hist": jnp.sum(one_hot * fg_w[..., None], axis=tuple(
-            range(one_hot.ndim - 1))),
-        "prob_bg_hist": jnp.sum(one_hot * bg_w[..., None], axis=tuple(
-            range(one_hot.ndim - 1))),
-    }
+    # Per-bin masked reductions — a one-hot [..., BINS] tensor here would
+    # materialize B×N×C×20 floats (50 GB at batch 16 @640px/80cls).
+    fg = jnp.stack([jnp.sum(jnp.where(bins == i, fg_w, 0.0))
+                    for i in range(HIST_BINS)])
+    bg = jnp.stack([jnp.sum(jnp.where(bins == i, bg_w, 0.0))
+                    for i in range(HIST_BINS)])
+    return {"prob_fg_hist": fg, "prob_bg_hist": bg}
 
 
 class MetricsWriter:

@@ -157,6 +157,30 @@ def test_train_step_focal_loss_decreases(tmp_path):
     assert losses[-1] < losses[0]
 
 
+def test_write_image_summaries(tmp_path):
+    from retinanet_tpu.data.pipeline import Batch
+    cfg = _tiny_config(tmp_path)
+    loader = Shapes(None, 4, (64, 64))
+    trainer = Trainer(cfg, loader=loader)
+    state = create_train_state(trainer.model, cfg, jax.random.PRNGKey(0))
+    state = TrainState(jnp.asarray(7), state.params, state.opt_state)
+
+    rng = np.random.RandomState(0)
+    batch = Batch(
+        images=rng.randn(2, 64, 64, 3).astype(np.float32),
+        boxes=np.tile(np.asarray([[0.2, 0.2, 0.6, 0.6]], np.float32),
+                      (2, 8, 1)),
+        class_ids=np.zeros((2, 8), np.int32),
+        box_mask=np.tile(np.asarray([[True] + [False] * 7]), (2, 1)),
+        image_ids=np.arange(2),
+        scales=np.ones(2, np.float32),
+    )
+    trainer.write_image_summaries(state, batch)
+    out_dir = os.path.join(str(tmp_path), "summaries", "step_7")
+    files = sorted(os.listdir(out_dir))
+    assert "0_true.png" in files and "0_pred.png" in files
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end_with_checkpoint(tmp_path):
     cfg = _tiny_config(tmp_path)
