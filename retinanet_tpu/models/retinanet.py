@@ -118,7 +118,7 @@ def l2_regularization(params, backbone: str, scale: float = 1e-4) -> Array:
     biases are not regularized (the reference registers regularizers only on
     conv kernels).
     """
-    import jax
+    from collections.abc import Mapping
 
     backbone_scale = 4e-5 if backbone == "mobilenet_v2" else scale
 
@@ -126,7 +126,7 @@ def l2_regularization(params, backbone: str, scale: float = 1e-4) -> Array:
         total = jnp.zeros((), jnp.float32)
         for key, value in tree.items():
             inside = in_backbone or key == "backbone_net"
-            if isinstance(value, dict):
+            if isinstance(value, Mapping):
                 total += walk(value, inside)
             elif key == "kernel":
                 s = backbone_scale if inside else scale
@@ -134,5 +134,4 @@ def l2_regularization(params, backbone: str, scale: float = 1e-4) -> Array:
                     jnp.square(value.astype(jnp.float32))) / 2
         return total
 
-    flat = jax.tree_util.tree_map(lambda x: x, params)  # ensure plain dict
-    return walk(flat, False)
+    return walk(params, False)

@@ -1,0 +1,54 @@
+"""Multi-host initialization (SURVEY §5 distributed backend).
+
+The reference is single-host only (MirroredStrategy, ``train.py:261-262``).
+The TPU-native multi-host story: call :func:`initialize` once per process
+(e.g. per TPU-pod worker); ``jax.devices()`` then spans the slice and the
+same 1-D data mesh in ``parallel/mesh.py`` covers all chips — gradient
+collectives ride ICI within a slice and DCN across slices, placed by XLA.
+
+The host pipeline must then shard the *input*: each process feeds only its
+addressable shard of the global batch (``process_batch_slice``), and
+``jax.make_array_from_process_local_data`` assembles the global array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """``jax.distributed.initialize`` wrapper; no-op for single-process runs
+    (auto-detects TPU pod environments when args are None)."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_batch_slice(global_batch_size: int) -> Tuple[int, int]:
+    """(start, size) of this process's slice of the global batch."""
+    n = jax.process_count()
+    i = jax.process_index()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes")
+    per = global_batch_size // n
+    return i * per, per
+
+
+def global_batch_from_local(local_arrays, mesh) -> "jax.Array":
+    """Assemble per-process local batch shards into one global jax.Array
+    sharded on the mesh's data axis."""
+    from retinanet_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), local_arrays)

@@ -76,3 +76,15 @@ def test_shard_map_step_matches_single_device(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_distributed_helpers_single_process():
+    from retinanet_tpu.parallel import distributed
+    # Single process: initialize is a no-op guard; slicing covers the batch.
+    distributed.initialize(num_processes=1)
+    start, size = distributed.process_batch_slice(8)
+    assert (start, size) == (0, 8)
+    mesh = make_mesh()
+    arr = distributed.global_batch_from_local(
+        np.zeros((8, 4), np.float32), mesh)
+    assert arr.shape == (8, 4)
