@@ -91,6 +91,9 @@ class ModelConfig:
     prior_prob: float = 0.01  # pi for classification bias init retinanet.py:52
     # TPU mixed precision: params fp32, compute bf16 (MXU-native).
     compute_dtype: str = "bfloat16"
+    # Rematerialize backbone blocks in the backward pass (trades ~30% extra
+    # forward FLOPs for activation memory — enables larger train batches).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

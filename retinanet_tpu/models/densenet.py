@@ -57,14 +57,18 @@ class DenseBlock(nn.Module):
     depth: int
     activation: str
     dropout_rate: float
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
+        from retinanet_tpu.models.resnet import remat_call
+
         for _ in range(self.depth):
-            out = BottleneckComposite(
+            composite = BottleneckComposite(
                 self.growth_rate, self.activation, self.dropout_rate,
-                dtype=self.dtype)(x, training=training)
+                dtype=self.dtype)
+            out = remat_call(composite, x, training, self.remat)
             x = jnp.concatenate([x, out], axis=-1)
         return x
 
@@ -94,6 +98,7 @@ class DenseNetBC(nn.Module):
     compression_factor: float = 0.5
     activation: str = "elu"
     dropout_rate: float = 0.2
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -109,8 +114,8 @@ class DenseNetBC(nn.Module):
 
         for i, depth in enumerate(self.blocks):
             x = DenseBlock(self.growth_rate, depth, self.activation,
-                           self.dropout_rate, dtype=self.dtype)(
-                               x, training=training)
+                           self.dropout_rate, remat=self.remat,
+                           dtype=self.dtype)(x, training=training)
             taps[f"C{i + 2}"] = x
             if i < len(self.blocks) - 1:
                 x = TransitionLayer(self.compression_factor,
@@ -120,12 +125,14 @@ class DenseNetBC(nn.Module):
 
 
 def DenseNetBC121(activation: str = "elu", dropout_rate: float = 0.2,
+                  remat: bool = False,
                   dtype: Any = jnp.bfloat16) -> DenseNetBC:
     return DenseNetBC(blocks=(6, 12, 24, 16), activation=activation,
-                      dropout_rate=dropout_rate, dtype=dtype)
+                      dropout_rate=dropout_rate, remat=remat, dtype=dtype)
 
 
 def DenseNetBC169(activation: str = "elu", dropout_rate: float = 0.2,
+                  remat: bool = False,
                   dtype: Any = jnp.bfloat16) -> DenseNetBC:
     return DenseNetBC(blocks=(6, 12, 32, 32), activation=activation,
-                      dropout_rate=dropout_rate, dtype=dtype)
+                      dropout_rate=dropout_rate, remat=remat, dtype=dtype)

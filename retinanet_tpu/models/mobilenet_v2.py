@@ -75,10 +75,13 @@ class MobileNetV2(nn.Module):
 
     activation: str = "elu"
     dropout_rate: float = 0.2
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Dict[str, Array]:
+        from retinanet_tpu.models.resnet import remat_call
+
         x = ConvGN(32, kernel_size=3, strides=2, activation=self.activation,
                    dropout_rate=self.dropout_rate,
                    dtype=self.dtype)(x, training=training)
@@ -89,11 +92,11 @@ class MobileNetV2(nn.Module):
         tap_after_stage = {0: "C1", 1: "C2", 2: "C3", 4: "C4"}
         for i, (filters, expansion, stride, repeats) in enumerate(_STAGES):
             for r in range(repeats):
-                x = Bottleneck(
+                block = Bottleneck(
                     filters=filters, strides=stride if r == 0 else 1,
                     expansion=expansion, activation=self.activation,
-                    dropout_rate=self.dropout_rate, dtype=self.dtype,
-                )(x, training=training)
+                    dropout_rate=self.dropout_rate, dtype=self.dtype)
+                x = remat_call(block, x, training, self.remat)
             if i in tap_after_stage:
                 taps[tap_after_stage[i]] = x
 

@@ -26,6 +26,19 @@ from jax import Array
 from retinanet_tpu.models.layers import Conv, ConvGN, GroupNorm, max_pool_same
 
 
+def remat_call(block: nn.Module, x: Array, training: bool,
+               enabled: bool) -> Array:
+    """Per-block rematerialization: backward recomputes the block's forward
+    instead of storing its intermediates.  Rematting the *call* (with
+    ``training`` captured statically in the closure) keeps parameter paths
+    identical to the non-remat model and keeps Python control flow on
+    ``training`` (dropout's `deterministic`) static — rematting the class
+    with ``static_argnums`` does neither."""
+    if not enabled:
+        return block(x, training=training)
+    return nn.remat(lambda mdl, y: mdl(y, training=training))(block, x)
+
+
 class ResNeXtBottleneck(nn.Module):
     """Grouped bottleneck (reference ``ResNeXt_Bottleneck``)."""
 
@@ -96,6 +109,7 @@ class ResNet50(nn.Module):
 
     activation: str = "elu"
     dropout_rate: float = 0.0
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -110,8 +124,9 @@ class ResNet50(nn.Module):
         for stage_idx, (filters, depth, downsample) in enumerate(stages):
             for i in range(depth):
                 project = ("down" if downsample else True) if i == 0 else False
-                x = ResNetBottleneck(filters=filters, project=project,
-                                     dtype=self.dtype)(x, training=training)
+                block = ResNetBottleneck(filters=filters, project=project,
+                                         dtype=self.dtype)
+                x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x
         return taps
 
@@ -125,6 +140,7 @@ class ResNeXt50(nn.Module):
 
     activation: str = "elu"  # accepted for API parity; blocks use relu
     dropout_rate: float = 0.0  # reference ResNeXt has no dropout
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -139,7 +155,8 @@ class ResNeXt50(nn.Module):
         for stage_idx, (filters, depth, downsample) in enumerate(stages):
             for i in range(depth):
                 project = ("down" if downsample else True) if i == 0 else False
-                x = ResNeXtBottleneck(filters=filters, project=project,
-                                      dtype=self.dtype)(x, training=training)
+                block = ResNeXtBottleneck(filters=filters, project=project,
+                                          dtype=self.dtype)
+                x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x
         return taps

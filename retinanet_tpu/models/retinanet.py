@@ -31,22 +31,23 @@ BACKBONES = ("resnet_50", "resnet_50_dense", "densenet_121", "densenet_169",
 
 
 def build_backbone(name: str, activation: str, dropout_rate: float,
-                   dtype: Any = jnp.bfloat16) -> nn.Module:
+                   dtype: Any = jnp.bfloat16,
+                   remat: bool = False) -> nn.Module:
     """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
     ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
     if name == "resnet_50":
-        return ResNeXt50(activation=activation, dtype=dtype)
+        return ResNeXt50(activation=activation, remat=remat, dtype=dtype)
     if name == "resnet_50_dense":
-        return ResNet50(activation=activation, dtype=dtype)
+        return ResNet50(activation=activation, remat=remat, dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
-                             dtype=dtype)
+                             remat=remat, dtype=dtype)
     if name == "densenet_169":
         return DenseNetBC169(activation=activation, dropout_rate=dropout_rate,
-                             dtype=dtype)
+                             remat=remat, dtype=dtype)
     if name == "mobilenet_v2":
         return MobileNetV2(activation=activation, dropout_rate=dropout_rate,
-                           dtype=dtype)
+                           remat=remat, dtype=dtype)
     raise ValueError(f"unknown backbone {name!r}; choose from {BACKBONES}")
 
 
@@ -61,6 +62,7 @@ class RetinaNet(nn.Module):
     fpn_channels: int = 256
     head_depth: int = 4
     prior_prob: float = 0.01
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -75,11 +77,13 @@ class RetinaNet(nn.Module):
             fpn_channels=cfg.fpn_channels,
             head_depth=cfg.head_depth,
             prior_prob=cfg.prior_prob,
+            remat=cfg.remat,
             dtype=jnp.dtype(cfg.compute_dtype))
 
     def setup(self):
         self.backbone_net = build_backbone(
-            self.backbone, self.activation, self.dropout_rate, self.dtype)
+            self.backbone, self.activation, self.dropout_rate, self.dtype,
+            remat=self.remat)
         self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
                        dtype=self.dtype)
         self.classification_subnet = ClassificationSubnet(

@@ -157,6 +157,34 @@ def test_train_step_focal_loss_decreases(tmp_path):
     assert losses[-1] < losses[0]
 
 
+def test_remat_matches_no_remat(tmp_path):
+    """Per-block remat must not change numerics, only memory/compute."""
+    import dataclasses
+    cfg = _tiny_config(tmp_path)
+    levels = build_levels(cfg.anchors)
+    np_rng = np.random.RandomState(0)
+    args = tuple(jnp.asarray(x) for x in _random_batch(np_rng, 2, 64, 8))
+    rng = jax.random.PRNGKey(3)
+
+    results = []
+    for remat in (False, True):
+        mcfg = dataclasses.replace(cfg.model, remat=remat)
+        c = dataclasses.replace(cfg, model=mcfg)
+        model = RetinaNet.from_config(c.model,
+                                      num_anchors=levels.num_anchors)
+        state = create_train_state(model, c, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(model, levels, c))
+        state, metrics = step(state, *args, rng)
+        results.append((state, metrics))
+
+    (s0, m0), (s1, m1) = results
+    np.testing.assert_allclose(float(m0["total_loss"]),
+                               float(m1["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_write_image_summaries(tmp_path):
     from retinanet_tpu.data.pipeline import Batch
     cfg = _tiny_config(tmp_path)
