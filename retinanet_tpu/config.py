@@ -91,6 +91,11 @@ class ModelConfig:
     prior_prob: float = 0.01  # pi for classification bias init retinanet.py:52
     # TPU mixed precision: params fp32, compute bf16 (MXU-native).
     compute_dtype: str = "bfloat16"
+    # Post-training-quantized serving: "int8" runs conv layers (except head
+    # output convs and the stem) as s8×s8→s32 on the MXU with dynamic
+    # per-tensor activation scales and per-channel weight scales.  Same
+    # param tree as the float model — bf16-trained checkpoints load as-is.
+    quantize: str = "none"  # none | int8
     # Rematerialize backbone blocks in the backward pass (trades ~30% extra
     # forward FLOPs for activation memory — enables larger train batches).
     remat: bool = False
@@ -105,6 +110,11 @@ class DataConfig:
     batch_size: int = 8  # per-step global batch (reference: fixed 2 = img + flip)
     shuffle_buffer: int = 4096  # train.py:197
     augment_flip: bool = True
+    # Photometric augmentation — the reference stubs this out
+    # (``dataset.py:206-212``); here it's a real capability: random
+    # brightness / contrast / saturation jitter, host-side, before resize.
+    augment_photometric: bool = False
+    photometric_strength: float = 0.25  # max relative jitter per factor
     mean: Tuple[float, float, float] = (0.46618041, 0.44669811, 0.40252436)
     std: Tuple[float, float, float] = (0.27940595, 0.27489075, 0.28920765)
     num_workers: int = 4  # host-side decode threads (min(cpu,4) dataset.py:231)
@@ -130,6 +140,9 @@ class TrainConfig:
     epochs: int = 1000
     steps_per_epoch: Optional[int] = None  # None = full pass over loader
     checkpoint_every: int = 500  # train.py:266-267
+    # Retain only the newest N checkpoints (the reference's Estimator kept 5
+    # by default; round-1 kept everything and ate the disk on long runs).
+    keep_checkpoints: int = 5
     log_every: int = 50
     # Write GT/predicted box-overlay PNGs at every checkpoint (reference
     # build_summary, train.py:164-187).  Off by default: it runs an extra

@@ -43,6 +43,41 @@ def process_batch_slice(global_batch_size: int) -> Tuple[int, int]:
     return i * per, per
 
 
+class _LoaderShard:
+    """View of a loader restricted to samples ``i % num_shards == shard``.
+
+    Keeps the loader interface (``class_names`` / ``num_classes`` /
+    ``__iter__`` / ``__len__``) so the pipeline is shard-agnostic; every
+    process iterates a disjoint subset, together covering the dataset.
+    """
+
+    def __init__(self, loader, shard: int, num_shards: int):
+        self.loader = loader
+        self.shard = shard
+        self.num_shards = num_shards
+        self.class_names = loader.class_names
+        self.num_classes = loader.num_classes
+
+    def __len__(self) -> int:
+        n, s = len(self.loader), self.num_shards
+        return n // s + (1 if n % s > self.shard else 0)
+
+    def __iter__(self):
+        for i, sample in enumerate(self.loader):
+            if i % self.num_shards == self.shard:
+                yield sample
+
+
+def shard_loader(loader, shard: int, num_shards: int):
+    """Per-process dataset shard for multi-host input (each process feeds
+    only its slice of the global batch)."""
+    if num_shards <= 1:
+        return loader
+    if not 0 <= shard < num_shards:
+        raise ValueError(f"shard {shard} out of range [0, {num_shards})")
+    return _LoaderShard(loader, shard, num_shards)
+
+
 def global_batch_from_local(local_arrays, mesh) -> "jax.Array":
     """Assemble per-process local batch shards into one global jax.Array
     sharded on the mesh's data axis."""

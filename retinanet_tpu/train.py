@@ -38,7 +38,7 @@ from retinanet_tpu.ops import assign, boxes as box_ops
 from retinanet_tpu.ops.anchors import Levels, build_levels
 from retinanet_tpu.ops.losses import detection_loss
 from retinanet_tpu.parallel.mesh import (
-    batch_sharding, make_mesh, replicated, shard_batch)
+    batch_sharding, make_mesh, replicated)
 from retinanet_tpu.utils.pytree import flatten_levels
 from retinanet_tpu.utils.summaries import MetricsWriter, prob_histograms
 
@@ -127,8 +127,18 @@ def _flat_anchor_maps(levels: Levels, image_size: int) -> np.ndarray:
         {k: jnp.asarray(v) for k, v in maps.items()}, batch_dims=0))
 
 
-def make_train_step(model: RetinaNet, levels: Levels, config: Config):
-    """Build the pure train-step function (to be jitted by the caller)."""
+def make_train_step(model: RetinaNet, levels: Levels, config: Config,
+                    with_metrics: bool = True):
+    """Build the pure train-step function (to be jitted by the caller).
+
+    ``with_metrics=False`` builds a hot-path variant that skips the
+    full-tensor diagnostic reductions (prob histograms, IoU metrics,
+    fg count) — those are worth ~40 masked reductions over [B, N, C]
+    tensors per step, but are consumed only on the log cadence.  The
+    Trainer compiles both variants and runs the full one only on steps
+    whose metrics are actually written.  Both return the same state; the
+    metrics dict differs in keys only.
+    """
     image_size = config.data.image_size
     num_classes = model.num_classes
     anchor_maps = jnp.asarray(_flat_anchor_maps(levels, image_size))
@@ -167,8 +177,6 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config):
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
 
-        probs = jax.nn.sigmoid(cl)
-        fg_mask = jnp.logical_and(jnp.max(ct, axis=-1) > 0.5, tm)
         metrics = {
             "total_loss": total,
             "class_loss": class_loss,
@@ -176,12 +184,17 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config):
             "regularization_loss": reg_loss,
             "grad_norm": optax.global_norm(grads),
             "learning_rate": schedule(state.step),
-            "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
-            # Classmap mean IoU at threshold .5 (reference build_metrics).
-            "class_iou": _class_iou(ct, probs, tm),
-            "regr_iou": _decoded_box_iou(rt, rg, anchor_maps, fg_mask),
-            **prob_histograms(ct, probs, tm),
         }
+        if with_metrics:
+            probs = jax.nn.sigmoid(cl)
+            fg_mask = jnp.logical_and(jnp.max(ct, axis=-1) > 0.5, tm)
+            metrics.update({
+                "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
+                # Classmap mean IoU at threshold .5 (reference build_metrics).
+                "class_iou": _class_iou(ct, probs, tm),
+                "regr_iou": _decoded_box_iou(rt, rg, anchor_maps, fg_mask),
+                **prob_histograms(ct, probs, tm),
+            })
         return new_state, metrics
 
     return step_fn
@@ -195,6 +208,26 @@ def _class_iou(targets: Array, probs: Array, mask: Array) -> Array:
     inter = jnp.sum(pred * targets * w)
     union = jnp.sum(jnp.maximum(pred, targets) * w)
     return inter / jnp.maximum(union, 1.0)
+
+
+def make_classmap_fn(model: RetinaNet, levels: Levels, config: Config):
+    """jit: (params, images, boxes, ids, mask) → per-level (GT, predicted)
+    fg-anchor-count maps [B, H, W] for the classmap heat overlays
+    (reference ``train.py:52-66``: thresholded classmap at prob 0.5)."""
+    image_size = config.data.image_size
+
+    def fn(params, images, boxes, class_ids, box_mask):
+        out = model.apply({"params": params}, images, training=False)
+        cls_t, _, _ = assign.build_labels_batch(
+            boxes, class_ids, box_mask, image_size, levels,
+            model.num_classes, config.assign)
+        pred = {pn: jnp.sum(jax.nn.sigmoid(c) > 0.5, axis=(-2, -1))
+                for pn, c in out["classifications"].items()}
+        true = {pn: jnp.sum(t > 0.5, axis=(-2, -1))
+                for pn, t in cls_t.items()}
+        return true, pred
+
+    return jax.jit(fn)
 
 
 def create_train_state(model: RetinaNet, config: Config,
@@ -226,22 +259,45 @@ class Trainer:
         self.model = RetinaNet.from_config(
             config.model, num_anchors=self.levels.num_anchors,
             num_classes=loader.num_classes)
-        # Mesh size must divide the global batch; auto-shrink like the
-        # reference only enables MirroredStrategy when it fits
-        # (train.py:261-262), preserving identical small-batch behaviour.
-        n_avail = config.parallel.num_devices or len(jax.devices())
-        n = n_avail
-        while config.data.batch_size % n:
-            n -= 1
-        if n != n_avail:
-            logger.warning(
-                "batch size %d not divisible by %d devices; using %d",
-                config.data.batch_size, n_avail, n)
-        self.mesh = make_mesh(
-            dataclasses.replace(config.parallel, num_devices=n))
+        self.num_processes = jax.process_count()
+        if self.num_processes > 1:
+            # Multi-host: every process feeds only its slice of the global
+            # batch from a disjoint shard of the dataset; the global array
+            # is assembled in fit() (jax.make_array_from_process_local_data).
+            if config.data.batch_size % self.num_processes:
+                raise ValueError(
+                    f"global batch {config.data.batch_size} not divisible "
+                    f"by {self.num_processes} processes")
+            n_avail = config.parallel.num_devices or len(jax.devices())
+            if config.data.batch_size % n_avail:
+                raise ValueError(
+                    f"global batch {config.data.batch_size} not divisible "
+                    f"by {n_avail} devices")
+            self.mesh = make_mesh(config.parallel)
+            from retinanet_tpu.parallel.distributed import shard_loader
+            pipeline_loader = shard_loader(loader, jax.process_index(),
+                                           self.num_processes)
+            local_data = dataclasses.replace(
+                config.data,
+                batch_size=config.data.batch_size // self.num_processes)
+        else:
+            # Mesh size must divide the global batch; auto-shrink like the
+            # reference only enables MirroredStrategy when it fits
+            # (train.py:261-262), preserving identical small-batch behaviour.
+            n_avail = config.parallel.num_devices or len(jax.devices())
+            n = n_avail
+            while config.data.batch_size % n:
+                n -= 1
+            if n != n_avail:
+                logger.warning(
+                    "batch size %d not divisible by %d devices; using %d",
+                    config.data.batch_size, n_avail, n)
+            self.mesh = make_mesh(
+                dataclasses.replace(config.parallel, num_devices=n))
+            pipeline_loader, local_data = loader, config.data
         self.pipeline = build_pipeline(
-            loader, config.data, max_boxes=config.assign.max_boxes,
-            training=True, seed=config.train.seed)
+            pipeline_loader, local_data, max_boxes=config.assign.max_boxes,
+            training=True, seed=config.train.seed + jax.process_index())
         self.writer = MetricsWriter(config.train.experiment)
         self._checkpointer = None
         self._infer_fn = None
@@ -259,12 +315,37 @@ class Trainer:
         return self._checkpointer
 
     def save_checkpoint(self, state: TrainState):
-        """Async save (Orbax): returns immediately, I/O overlaps training."""
+        """Async save (Orbax): returns immediately, I/O overlaps training.
+
+        Retains only the newest ``keep_checkpoints`` completed checkpoints
+        (the reference's Estimator kept 5, ``RunConfig`` default).  Pruning
+        happens before the new save and only touches finalized ``step_N``
+        directories, so an in-flight async save (always the newest) is never
+        deleted.
+        """
+        self._prune_checkpoints(keep=max(1, self.config.train.keep_checkpoints
+                                         ) - 1)
         step = int(state.step)
         path = os.path.join(self.checkpoint_dir, f"step_{step}")
         self._ckpt().save(path, {"step": state.step, "params": state.params,
                                  "opt_state": state.opt_state}, force=True)
         logger.info("saving checkpoint at step %d", step)
+
+    def _prune_checkpoints(self, keep: int):
+        if not os.path.isdir(self.checkpoint_dir):
+            return
+        steps = []
+        for name in os.listdir(self.checkpoint_dir):
+            if name.startswith("step_") and "tmp" not in name:
+                try:
+                    steps.append(int(name.split("_")[1]))
+                except ValueError:
+                    pass
+        import shutil
+        for step in sorted(steps)[:-keep] if keep > 0 else sorted(steps):
+            shutil.rmtree(
+                os.path.join(self.checkpoint_dir, f"step_{step}"),
+                ignore_errors=True)
 
     def wait_for_checkpoints(self):
         if self._checkpointer is not None:
@@ -315,8 +396,16 @@ class Trainer:
             self._infer_fn = make_inference_fn(
                 self.model, self.levels, self.config,
                 use_pallas=jax.default_backend() == "tpu")
-        out = jax.device_get(self._infer_fn(state.params,
-                                            jnp.asarray(batch.images)))
+            self._classmap_fn = make_classmap_fn(
+                self.model, self.levels, self.config)
+        n_draw = min(2, batch.images.shape[0])
+        images_dev = jnp.asarray(batch.images[:n_draw])
+        out = jax.device_get(self._infer_fn(state.params, images_dev))
+        cm_true, cm_pred = jax.device_get(self._classmap_fn(
+            state.params, images_dev,
+            jnp.asarray(batch.boxes[:n_draw]),
+            jnp.asarray(batch.class_ids[:n_draw]),
+            jnp.asarray(batch.box_mask[:n_draw])))
         step = int(state.step)
         out_dir = os.path.join(self.config.train.experiment, "summaries",
                                f"step_{step}")
@@ -328,7 +417,8 @@ class Trainer:
         except ImportError:
             return
         names = self.loader.class_names
-        for i in range(min(2, batch.images.shape[0])):
+        from retinanet_tpu.utils.draw import draw_classmap
+        for i in range(n_draw):
             img = np.clip(batch.images[i] * std + mean, 0, 1)
             gt_valid = batch.box_mask[i]
             gt = draw_bounding_boxes(img, batch.boxes[i][gt_valid],
@@ -341,8 +431,38 @@ class Trainer:
                                        scores=out.scores[i][pv])
             cv2.imwrite(os.path.join(out_dir, f"{i}_pred.png"),
                         pred[..., ::-1])
+            # Per-level classmap heat overlays (reference train.py:52-66,
+            # 176-187 — the author's main visual diagnostic): count of
+            # fg anchor-class slots per cell, GT vs predicted.
+            for pn in cm_true:
+                heat_t = draw_classmap(img, np.asarray(cm_true[pn][i]))
+                heat_p = draw_classmap(img, np.asarray(cm_pred[pn][i]))
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{i}_classmap_{pn}_true.png"),
+                    heat_t[..., ::-1])
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{i}_classmap_{pn}_pred.png"),
+                    heat_p[..., ::-1])
 
     # -- training ----------------------------------------------------------
+    def _device_batches(self, epoch: int):
+        """(device_batch, host_batch) stream with one batch of transfer
+        lookahead: batch k+1's host→device copy is issued before batch k is
+        yielded, so the transfer overlaps the step running on batch k
+        (double-buffered input; reference analog: ``prefetch(1)`` at
+        ``train.py:202``)."""
+        from retinanet_tpu.parallel.distributed import global_batch_from_local
+        pending = None
+        for batch in self.pipeline.prefetched(epoch):
+            db = global_batch_from_local(
+                (batch.images, batch.boxes, batch.class_ids, batch.box_mask),
+                self.mesh)
+            if pending is not None:
+                yield pending
+            pending = (db, batch)
+        if pending is not None:
+            yield pending
+
     def fit(self, epochs: Optional[int] = None,
             steps_per_epoch: Optional[int] = None) -> TrainState:
         cfg = self.config
@@ -353,35 +473,41 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed)
         state = create_train_state(self.model, cfg, rng)
         state = self.restore_checkpoint(state)
+        py_step = int(state.step)  # host-side mirror: avoids a device sync
+        # (int(state.step) blocks on the whole step program) per iteration
 
         repl = replicated(self.mesh)
         data_sh = batch_sharding(self.mesh)
         state = jax.device_put(state, repl)
 
-        step_fn = make_train_step(self.model, self.levels, cfg)
-        jitted = jax.jit(
-            step_fn,
+        shardings = dict(
             in_shardings=(repl, data_sh, data_sh, data_sh, data_sh, repl),
-            out_shardings=(repl, repl),
-            donate_argnums=(0,))
+            out_shardings=(repl, repl), donate_argnums=(0,))
+        # Two compiled variants: the hot-path step skips the diagnostic
+        # full-tensor reductions; the full step runs only on logged steps.
+        jit_light = jax.jit(make_train_step(self.model, self.levels, cfg,
+                                            with_metrics=False), **shardings)
+        jit_full = jax.jit(make_train_step(self.model, self.levels, cfg,
+                                           with_metrics=True), **shardings)
 
         step_rng = jax.device_put(jax.random.PRNGKey(cfg.train.seed + 1),
                                   repl)
         t_last = time.time()
         for epoch in range(epochs):
             logger.info("epoch %d", epoch)
-            for i, batch in enumerate(self.pipeline.prefetched(epoch)):
+            for i, (device_batch, batch) in enumerate(
+                    self._device_batches(epoch)):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
-                device_batch = shard_batch(
-                    (batch.images, batch.boxes, batch.class_ids,
-                     batch.box_mask), self.mesh)
-                state, metrics = jitted(state, *device_batch, step_rng)
-
-                step = int(state.step)
+                step = py_step + 1
                 # Log on cadence and always on the first step, so short runs
                 # still produce metrics records.
-                if step % cfg.train.log_every == 0 or step == 1:
+                will_log = step % cfg.train.log_every == 0 or step == 1
+                jitted = jit_full if will_log else jit_light
+                state, metrics = jitted(state, *device_batch, step_rng)
+                py_step = step
+
+                if will_log:
                     metrics = jax.device_get(metrics)
                     now = time.time()
                     metrics["images_per_sec"] = (
@@ -402,6 +528,49 @@ class Trainer:
         self.save_checkpoint(state)
         self.wait_for_checkpoints()
         return state
+
+
+def benchmark_train(config: Config, batch_size: int = 32, steps: int = 10,
+                    warmup: int = 2, num_classes: int = 80) -> Dict[str, float]:
+    """Full-train-step throughput (assignment + fwd + bwd + optimizer) on
+    random data — the training-side companion to ``infer.benchmark``."""
+    levels = build_levels(config.anchors)
+    model = RetinaNet.from_config(config.model, levels.num_anchors,
+                                  num_classes=num_classes)
+    state = create_train_state(model, config, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(model, levels, config,
+                                      with_metrics=False),
+                      donate_argnums=(0,))
+
+    size = config.data.image_size
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch_size, size, size, 3), jnp.float32)
+    max_boxes = config.assign.max_boxes
+    boxes = np.zeros((batch_size, max_boxes, 4), np.float32)
+    boxes[:, 0] = [0.2, 0.2, 0.7, 0.7]
+    boxes[:, 1] = [0.5, 0.4, 0.9, 0.8]
+    mask = np.zeros((batch_size, max_boxes), bool)
+    mask[:, :2] = True
+    args = (jnp.asarray(boxes), jnp.zeros((batch_size, max_boxes), jnp.int32),
+            jnp.asarray(mask), jax.random.PRNGKey(1))
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, images, *args)
+    jax.device_get(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, images, *args)
+    # device_get forces completion (block_until_ready is unreliable through
+    # the remote-TPU tunnel; see infer.benchmark).
+    jax.device_get(metrics["total_loss"])
+    total = time.perf_counter() - t0
+    return {
+        "images_per_sec": batch_size * steps / total,
+        "step_ms": total / steps * 1e3,
+        "batch_size": batch_size,
+        "image_size": size,
+    }
 
 
 def main(argv=None):

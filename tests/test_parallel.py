@@ -88,3 +88,40 @@ def test_distributed_helpers_single_process():
     arr = distributed.global_batch_from_local(
         np.zeros((8, 4), np.float32), mesh)
     assert arr.shape == (8, 4)
+
+
+def test_shard_loader_partitions_dataset():
+    from retinanet_tpu.data.loaders.shapes import Shapes
+    from retinanet_tpu.parallel.distributed import shard_loader
+
+    loader = Shapes(None, 10, (64, 64))
+    shards = [shard_loader(loader, i, 3) for i in range(3)]
+    assert shard_loader(loader, 0, 1) is loader  # no-op single process
+    # Disjoint cover with correct lengths.
+    assert [len(s) for s in shards] == [4, 3, 3]
+    seen = []
+    for s in shards:
+        items = list(s)
+        assert len(items) == len(s)
+        seen.extend(np.asarray(x["boxes"]).tobytes() for x in items)
+    full = [np.asarray(x["boxes"]).tobytes() for x in loader]
+    assert sorted(seen) == sorted(full)
+    assert shards[0].num_classes == loader.num_classes
+    assert shards[0].class_names == loader.class_names
+
+
+def test_global_batch_from_local_matches_shard_batch():
+    """Single-process assembly path (what the Trainer now uses) must equal
+    the plain sharded device_put."""
+    from retinanet_tpu.parallel import distributed
+    from retinanet_tpu.parallel.mesh import shard_batch
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(0)
+    host = (rng.randn(8, 3).astype(np.float32),
+            rng.randint(0, 5, (8, 2)).astype(np.int32))
+    a = distributed.global_batch_from_local(host, mesh)
+    b = shard_batch(host, mesh)
+    for x, y in zip(a, b):
+        assert x.sharding == y.sharding
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

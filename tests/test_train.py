@@ -97,6 +97,54 @@ def test_train_step_metrics_keys(tmp_path):
     assert int(metrics["num_fg"]) > 0
 
 
+def test_light_step_matches_full_step(tmp_path):
+    """with_metrics=False must produce identical state updates — it only
+    drops the diagnostic reductions from the metrics dict."""
+    cfg = _tiny_config(tmp_path)
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    np_rng = np.random.RandomState(0)
+    args = tuple(jnp.asarray(x) for x in _random_batch(np_rng, 2, 64, 8))
+    rng = jax.random.PRNGKey(1)
+
+    s_full = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s_light = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    full = jax.jit(make_train_step(model, levels, cfg, with_metrics=True))
+    light = jax.jit(make_train_step(model, levels, cfg, with_metrics=False))
+    s_full, m_full = full(s_full, *args, rng)
+    s_light, m_light = light(s_light, *args, rng)
+
+    assert "prob_fg_hist" in m_full and "class_iou" in m_full
+    assert "prob_fg_hist" not in m_light and "class_iou" not in m_light
+    assert "total_loss" in m_light and "grad_norm" in m_light
+    np.testing.assert_allclose(float(m_full["total_loss"]),
+                               float(m_light["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_light.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_retention(tmp_path):
+    """Only the newest keep_checkpoints survive (reference Estimator kept
+    5 by default; round-1 kept everything)."""
+    import dataclasses
+    cfg = _tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, keep_checkpoints=2))
+    loader = Shapes(None, 4, (64, 64))
+    trainer = Trainer(cfg, loader=loader)
+    state = create_train_state(trainer.model, cfg, jax.random.PRNGKey(0))
+    for step in (1, 2, 3, 4):
+        s = TrainState(jnp.asarray(step), state.params, state.opt_state)
+        trainer.save_checkpoint(s)
+        trainer.wait_for_checkpoints()
+    names = sorted(os.listdir(trainer.checkpoint_dir))
+    assert names == ["step_3", "step_4"]
+    # Restore still works from the newest.
+    restored = trainer.restore_checkpoint(state)
+    assert int(restored.step) == 4
+
+
 def test_dp_mesh_matches_single_device(tmp_path):
     """8-way sharded step produces the same loss/params as unsharded."""
     cfg = _tiny_config(tmp_path, batch_size=8)
@@ -207,6 +255,10 @@ def test_write_image_summaries(tmp_path):
     out_dir = os.path.join(str(tmp_path), "summaries", "step_7")
     files = sorted(os.listdir(out_dir))
     assert "0_true.png" in files and "0_pred.png" in files
+    # Per-level classmap heat overlays (reference train.py:52-66,176-187).
+    assert "0_classmap_P3_true.png" in files
+    assert "0_classmap_P3_pred.png" in files
+    assert "1_classmap_P7_true.png" in files
 
 
 @pytest.mark.slow
