@@ -3,25 +3,46 @@
 north-star target demands mAP parity measurement (BASELINE.md).
 
 Self-contained numpy implementation of the COCO detection metric protocol
-(pycocotools is not available in this environment):
-  * per-class, per-image greedy matching of score-sorted detections to GT at
-    a given IoU threshold (each GT matched at most once)
-  * 101-point interpolated precision (recall thresholds 0:.01:1)
-  * AP averaged over IoU thresholds .50:.05:.95 (plus AP50 / AP75), mean
-    over classes present in the ground truth
+(pycocotools is not available in this environment), matching pycocotools'
+``COCOeval`` bbox semantics detail-for-detail:
 
-Validated in tests against hand-computable cases (single box, perfect
-detections → AP 1.0; known precision/recall staircases).
+  * detections sorted by descending score (stable), truncated to ``maxDets``
+    per image **per category** (COCOeval ``evaluateImg`` with useCats=1)
+  * greedy matching in score order; each detection takes the best-IoU
+    still-unmatched GT with IoU ≥ threshold, ties going to the **later** GT
+    (COCOeval uses strict ``<`` when scanning, so an equal IoU updates the
+    match) — ``cocoeval.py evaluateImg``
+  * GT/detection ignore flags from area ranges: ignored GTs don't count
+    toward recall, detections matched to ignored GTs (or unmatched with
+    out-of-range area) are neither TP nor FP — ``cocoeval.py accumulate``
+  * 101-point interpolated precision: monotone envelope then
+    ``searchsorted(recall, recThrs, side='left')`` — ``cocoeval.py:507-512``
+  * AP averaged over IoU thresholds .50:.05:.95, mean over classes with ≥1
+    non-ignored GT; AR (max recall) at maxDets 1/10/100
+
+Validated in tests against hand-derived traces of the pycocotools algorithm
+(``tests/test_eval.py``), including maxDets truncation, score ties, equal-IoU
+tie-breaking, and area-range ignores.
+
+``COCOEvaluator`` is streaming: per-image matching happens in ``add`` and
+memory is O(total detections), not O(dataset) — images are never retained.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+# COCOeval areaRng: all / small / medium / large (cocoeval.py Params).
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
 
 
 def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -39,33 +60,68 @@ def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(det_boxes, det_scores, gt_boxes, iou_threshold):
-    """Greedy match score-sorted detections to GT; returns tp flags aligned
-    with the detections in descending-score order.
+def _box_area(boxes: np.ndarray) -> np.ndarray:
+    if len(boxes) == 0:
+        return np.zeros(0, np.float32)
+    return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
-    COCO semantics: each detection takes the highest-IoU still-unmatched GT
-    with IoU ≥ threshold (ties to the earlier GT)."""
+
+def _match_image(det_boxes: np.ndarray, det_scores: np.ndarray,
+                 gt_boxes: np.ndarray, iou_threshold: float,
+                 gt_ignore: Optional[np.ndarray] = None,
+                 area_range: Tuple[float, float] = (0.0, 1e10)):
+    """COCOeval ``evaluateImg`` for one (image, category, threshold).
+
+    Returns (scores, tp, det_ignore) aligned in descending-score order.
+    GTs are scanned non-ignored first (COCOeval sorts by ``_ignore``); a
+    detection takes the best still-unmatched GT, where "best" uses strict
+    ``<`` — equal IoU moves the match to the later GT.  A real (non-ignored)
+    match stops the scan before ignored GTs (``cocoeval.py`` ``break``).
+    """
     order = np.argsort(-det_scores, kind="stable")
-    iou = _box_iou_matrix(det_boxes[order], gt_boxes)
+    det_boxes, det_scores = det_boxes[order], det_scores[order]
+    if gt_ignore is None:
+        gt_ignore = np.zeros(len(gt_boxes), bool)
+    # COCOeval sorts GT so ignored ones come last (stable).
+    gt_order = np.argsort(gt_ignore, kind="stable")
+    gt_boxes, gt_ignore = gt_boxes[gt_order], gt_ignore[gt_order]
+
+    iou = _box_iou_matrix(det_boxes, gt_boxes)
     gt_used = np.zeros(len(gt_boxes), bool)
-    tp = np.zeros(len(order), bool)
-    for d in range(len(order)):
-        row = np.where(gt_used, -1.0, iou[d])
-        if row.size == 0:
-            continue
-        g = int(np.argmax(row))
-        if row[g] >= iou_threshold:
-            gt_used[g] = True
-            tp[d] = True
-    return tp, det_scores[order]
+    tp = np.zeros(len(det_boxes), bool)
+    det_ig = np.zeros(len(det_boxes), bool)
+    thr = min(iou_threshold, 1 - 1e-10)
+    for d in range(len(det_boxes)):
+        best, m = thr, -1
+        for g in range(len(gt_boxes)):
+            if gt_used[g]:
+                continue
+            # A real match stops the scan once only ignored GTs remain.
+            if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                break
+            if iou[d, g] < best:
+                continue
+            best, m = iou[d, g], g
+        if m > -1:
+            gt_used[m] = True
+            det_ig[d] = gt_ignore[m]
+            tp[d] = not gt_ignore[m]
+    # Unmatched detections with out-of-range area are ignored (not FP).
+    area = _box_area(det_boxes)
+    out_of_range = (area < area_range[0]) | (area > area_range[1])
+    det_ig |= (~tp) & (~det_ig) & out_of_range
+    return det_scores, tp, det_ig
 
 
-def _average_precision(scores, tp, num_gt):
-    """101-point interpolated AP from pooled (score, tp) across images."""
+def _average_precision(scores, tp, det_ig, num_gt) -> Tuple[float, float]:
+    """(AP, max recall) from pooled (score, tp, ignore) across images —
+    COCOeval ``accumulate`` for one (category, threshold, area, maxDets)."""
     if num_gt == 0:
-        return np.nan
+        return np.nan, np.nan
+    keep = ~det_ig
+    scores, tp = scores[keep], tp[keep]
     if len(scores) == 0:
-        return 0.0
+        return 0.0, 0.0
     order = np.argsort(-scores, kind="stable")
     tp = tp[order]
     cum_tp = np.cumsum(tp)
@@ -74,11 +130,125 @@ def _average_precision(scores, tp, num_gt):
     precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
     # Monotone non-increasing precision envelope.
     precision = np.maximum.accumulate(precision[::-1])[::-1]
-    # Interpolate at the 101 recall points.
+    # Interpolate at the 101 recall points (cocoeval.py searchsorted left;
+    # indices past the end read as 0).
     idx = np.searchsorted(recall, RECALL_POINTS, side="left")
-    interp = np.where(idx < len(precision), precision[np.minimum(
-        idx, len(precision) - 1)], 0.0)
-    return float(np.mean(interp))
+    interp = np.where(idx < len(precision),
+                      precision[np.minimum(idx, len(precision) - 1)], 0.0)
+    return float(np.mean(interp)), float(recall[-1])
+
+
+class COCOEvaluator:
+    """Streaming COCO-protocol evaluator: feed per-image detections + GT
+    with :meth:`add`, read metrics with :meth:`summarize`.
+
+    Memory is O(total detections) — per-image matching happens inside
+    ``add`` and images are never retained (fixes round-1's
+    whole-dataset-in-RAM ``evaluate_model``).
+    """
+
+    def __init__(self, num_classes: int,
+                 iou_thresholds: np.ndarray = IOU_THRESHOLDS,
+                 max_dets: Sequence[int] = (1, 10, 100),
+                 area_ranges: Optional[Dict[str, Tuple[float, float]]] = None):
+        self.num_classes = num_classes
+        self.iou_thresholds = np.asarray(iou_thresholds)
+        self.max_dets = tuple(sorted(max_dets))
+        self.area_ranges = dict(area_ranges or AREA_RANGES)
+        if "all" not in self.area_ranges:
+            raise ValueError("area_ranges must include 'all'")
+        # pooled[(class, thr_idx, area, max_det)] = [scores...], [tp...], [ig...]
+        self._pooled: Dict[tuple, tuple] = {}
+        # num_gt[(class, area)] = count of non-ignored GT
+        self._num_gt: Dict[tuple, int] = {}
+
+    def _pool(self, key):
+        if key not in self._pooled:
+            self._pooled[key] = ([], [], [])
+        return self._pooled[key]
+
+    def add(self, det: Dict, gt: Dict):
+        """One image.  ``det``: boxes [N,4] (t,l,b,r), scores [N],
+        class_ids [N]; ``gt``: boxes [M,4], class_ids [M]."""
+        det_boxes = np.asarray(det["boxes"], np.float32).reshape(-1, 4)
+        det_scores = np.asarray(det["scores"], np.float32)
+        det_cls = np.asarray(det["class_ids"])
+        gt_boxes = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
+        gt_cls = np.asarray(gt["class_ids"])
+        gt_area = _box_area(gt_boxes)
+
+        classes = set(np.unique(det_cls)) | set(np.unique(gt_cls))
+        for c in classes:
+            c = int(c)
+            d_sel = det_cls == c
+            g_sel = gt_cls == c
+            db, ds = det_boxes[d_sel], det_scores[d_sel]
+            gb, ga = gt_boxes[g_sel], gt_area[g_sel]
+            # Pre-truncate to the largest maxDets once (score-sorted).
+            order = np.argsort(-ds, kind="stable")
+            db, ds = db[order], ds[order]
+            for area_name, (lo, hi) in self.area_ranges.items():
+                gt_ig = (ga < lo) | (ga > hi)
+                key = (c, area_name)
+                self._num_gt[key] = self._num_gt.get(key, 0) + int(
+                    np.sum(~gt_ig))
+                for md in self.max_dets:
+                    dbm, dsm = db[:md], ds[:md]
+                    for t, thr in enumerate(self.iou_thresholds):
+                        scores, tp, dig = _match_image(
+                            dbm, dsm, gb, float(thr), gt_ig, (lo, hi))
+                        pool = self._pool((c, t, area_name, md))
+                        pool[0].append(scores)
+                        pool[1].append(tp)
+                        pool[2].append(dig)
+
+    def _ap_matrix(self, area_name: str, max_det: int):
+        """(AP, AR) arrays [num_classes, num_thresholds] (nan = no GT)."""
+        nt = len(self.iou_thresholds)
+        ap = np.full((self.num_classes, nt), np.nan)
+        ar = np.full((self.num_classes, nt), np.nan)
+        for c in range(self.num_classes):
+            num_gt = self._num_gt.get((c, area_name), 0)
+            if num_gt == 0:
+                continue
+            for t in range(nt):
+                pool = self._pooled.get((c, t, area_name, max_det))
+                if pool is None:
+                    ap[c, t], ar[c, t] = 0.0, 0.0
+                    continue
+                scores = np.concatenate(pool[0]) if pool[0] else np.zeros(0)
+                tp = np.concatenate(pool[1]) if pool[1] else np.zeros(0, bool)
+                dig = np.concatenate(pool[2]) if pool[2] else np.zeros(0, bool)
+                ap[c, t], ar[c, t] = _average_precision(scores, tp, dig,
+                                                        num_gt)
+        return ap, ar
+
+    def summarize(self) -> Dict[str, float]:
+        thr = self.iou_thresholds
+        idx50 = int(np.argmin(np.abs(thr - 0.5)))
+        idx75 = int(np.argmin(np.abs(thr - 0.75)))
+        top_md = self.max_dets[-1]
+
+        import warnings
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            # nanmean of an all-nan class/area slice (e.g. no medium GT) is
+            # a legitimate nan result, not a warning-worthy event.
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ap_all, ar_all = self._ap_matrix("all", top_md)
+            per_thr = np.nanmean(ap_all, axis=0)
+            out = {
+                "mAP": float(np.nanmean(ap_all)),
+                "AP50": float(per_thr[idx50]),
+                "AP75": float(per_thr[idx75]),
+            }
+            for area in ("small", "medium", "large"):
+                if area in self.area_ranges:
+                    ap_a, _ = self._ap_matrix(area, top_md)
+                    out[f"mAP_{area}"] = float(np.nanmean(ap_a))
+            for md in self.max_dets:
+                _, ar_md = self._ap_matrix("all", md)
+                out[f"AR@{md}"] = float(np.nanmean(ar_md))
+        return out
 
 
 def evaluate_detections(
@@ -87,81 +257,72 @@ def evaluate_detections(
     num_classes: int,
     iou_thresholds: np.ndarray = IOU_THRESHOLDS,
 ) -> Dict[str, float]:
-    """COCO-style AP over a dataset.
+    """COCO-style AP over an in-memory dataset (thin wrapper over the
+    streaming :class:`COCOEvaluator`).
 
     ``detections[i]`` / ``ground_truths[i]``: dicts for image i with
     ``boxes`` [N,4] (t,l,b,r — any consistent unit), ``class_ids`` [N]; the
     detection dicts also carry ``scores`` [N].
     """
     assert len(detections) == len(ground_truths)
-    ap_per_class_thr = np.full((num_classes, len(iou_thresholds)), np.nan)
-
-    for c in range(num_classes):
-        num_gt = 0
-        pooled = {t: ([], []) for t in range(len(iou_thresholds))}
-        for det, gt in zip(detections, ground_truths):
-            det_sel = det["class_ids"] == c
-            gt_sel = gt["class_ids"] == c
-            det_boxes = np.asarray(det["boxes"], np.float32)[det_sel]
-            det_scores = np.asarray(det["scores"], np.float32)[det_sel]
-            gt_boxes = np.asarray(gt["boxes"], np.float32)[gt_sel]
-            num_gt += len(gt_boxes)
-            for t, thr in enumerate(iou_thresholds):
-                tp, scores = _match_image(det_boxes, det_scores, gt_boxes,
-                                          thr)
-                pooled[t][0].append(scores)
-                pooled[t][1].append(tp)
-        if num_gt == 0:
-            continue
-        for t in range(len(iou_thresholds)):
-            scores = np.concatenate(pooled[t][0]) if pooled[t][0] else \
-                np.zeros(0)
-            tp = np.concatenate(pooled[t][1]) if pooled[t][1] else \
-                np.zeros(0, bool)
-            ap_per_class_thr[c, t] = _average_precision(scores, tp, num_gt)
-
-    with np.errstate(invalid="ignore"):
-        per_thr = np.nanmean(ap_per_class_thr, axis=0)
-    idx50 = int(np.argmin(np.abs(iou_thresholds - 0.5)))
-    idx75 = int(np.argmin(np.abs(iou_thresholds - 0.75)))
-    return {
-        "mAP": float(np.nanmean(ap_per_class_thr)),
-        "AP50": float(per_thr[idx50]),
-        "AP75": float(per_thr[idx75]),
-    }
+    ev = COCOEvaluator(num_classes, iou_thresholds)
+    for det, gt in zip(detections, ground_truths):
+        ev.add(det, gt)
+    return ev.summarize()
 
 
 def evaluate_model(detector, loader, config, max_images: int = None,
                    score_threshold: float = None) -> Dict[str, float]:
-    """Run the detector over a loader and compute mAP.
+    """Run the detector over a loader and compute mAP, streaming.
 
-    Detections are produced in canvas coordinates and mapped back to
-    original-image pixels via the pipeline's scale factor.
+    One pass over the loader; each sample is preprocessed, batched (last
+    partial batch is padded to keep one compiled program), detected, matched
+    into the evaluator, and dropped.  Detections are produced in canvas
+    coordinates and mapped back to original-image pixels via the per-sample
+    resize scale; GT comes straight from the loader sample (original
+    pixels).  Memory is O(batch), not O(dataset).
     """
-    from retinanet_tpu.data.pipeline import Pipeline
     import dataclasses
 
-    data_cfg = dataclasses.replace(config.data, augment_flip=False)
-    pipe = Pipeline(loader, data_cfg, max_boxes=config.assign.max_boxes,
-                    training=False)
+    from retinanet_tpu.data.pipeline import process_sample
 
-    all_dets: List[Dict] = []
-    all_gts: List[Dict] = []
-    count = 0
-    samples = {i: s for i, s in enumerate(loader)}
-    for batch in pipe.epoch(0):
-        results = detector.detect(batch.images, scales=batch.scales)
-        for i, det in enumerate(results):
-            if max_images is not None and count >= max_images:
-                break
-            sample = samples[int(batch.image_ids[i])]
+    data_cfg = dataclasses.replace(config.data, augment_flip=False,
+                                   augment_photometric=False)
+    mean = np.asarray(data_cfg.mean, np.float32)
+    std = np.asarray(data_cfg.std, np.float32)
+    batch_size = data_cfg.batch_size
+
+    evaluator = COCOEvaluator(loader.num_classes)
+    images: List[np.ndarray] = []
+    scales: List[float] = []
+    gts: List[Dict] = []
+
+    def flush():
+        if not images:
+            return
+        n = len(images)
+        while len(images) < batch_size:  # pad: keep shapes static
+            images.append(np.zeros_like(images[0]))
+            scales.append(1.0)
+        results = detector.detect(np.stack(images),
+                                  scales=np.asarray(scales, np.float32))
+        for det, gt in zip(results[:n], gts):
             if score_threshold is not None:
                 keep = det["scores"] >= score_threshold
                 det = {k: v[keep] for k, v in det.items()}
-            all_dets.append(det)
-            all_gts.append({"boxes": sample["boxes"],
-                            "class_ids": sample["class_ids"]})
-            count += 1
-        if max_images is not None and count >= max_images:
+            evaluator.add(det, gt)
+        images.clear(), scales.clear(), gts.clear()
+
+    for i, sample in enumerate(loader):
+        if max_images is not None and i >= max_images:
             break
-    return evaluate_detections(all_dets, all_gts, loader.num_classes)
+        out = process_sample(sample, data_cfg.image_size, mean, std,
+                             max_boxes=config.assign.max_boxes, flip=False)
+        images.append(out["image"])
+        scales.append(float(out["scale"]))
+        gts.append({"boxes": np.asarray(sample["boxes"], np.float32),
+                    "class_ids": np.asarray(sample["class_ids"])})
+        if len(images) == batch_size:
+            flush()
+    flush()
+    return evaluator.summarize()

@@ -65,6 +65,10 @@ def main(argv=None):
              "reference's 0.5 is a *display* threshold (utils.py:186) and "
              "truncates the curve.")
     parser.add_argument("--step", type=int, default=None)
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="int8: post-training-quantized serving path "
+                             "(same checkpoint, conv layers in s8×s8→s32)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -73,6 +77,7 @@ def main(argv=None):
         ("data.image_size", args.scale),
         ("data.batch_size", args.batch_size),
         ("model.backbone", args.backbone),
+        ("model.quantize", args.quantize),
         ("train.experiment", args.experiment),
         ("nms.score_threshold", args.decode_threshold),
     ]:
@@ -83,7 +88,10 @@ def main(argv=None):
     metrics = evaluate_model(detector, loader, config,
                              max_images=args.max_images,
                              score_threshold=args.score_threshold)
-    print(json.dumps(metrics))
+    import math
+    # nan = "no GT in this area bucket" → null (strict-JSON safe).
+    print(json.dumps({k: (None if isinstance(v, float) and math.isnan(v)
+                          else v) for k, v in metrics.items()}))
     return metrics
 
 

@@ -69,9 +69,11 @@ def test_evaluate_model_mechanism():
     """Full evaluate pipeline on an untrained model: runs, returns ~0 mAP."""
     cfg = _config()
     det = _detector(cfg)
-    loader = Shapes(None, 4, (64, 64))
+    loader = Shapes(None, 5, (64, 64))  # 5 images @ batch 2: partial batch
     metrics = evaluate_model(det, loader, cfg)
-    assert set(metrics.keys()) == {"mAP", "AP50", "AP75"}
+    for key in ("mAP", "AP50", "AP75", "mAP_small", "mAP_medium",
+                "mAP_large", "AR@1", "AR@10", "AR@100"):
+        assert key in metrics, key
     assert metrics["mAP"] == 0.0  # untrained prior fires nothing
 
 
