@@ -25,7 +25,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, NamedTuple, Optional
+from typing import Dict, Iterator, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -65,8 +65,28 @@ def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
 
 
+def photometric_jitter(image: np.ndarray, brightness: float, contrast: float,
+                       saturation: float) -> np.ndarray:
+    """Brightness/contrast/saturation jitter on a uint8 RGB image.
+
+    The reference stubs photometric augmentation out entirely
+    (``/root/reference/dataset.py:206-212`` — commented hue/saturation/
+    brightness/contrast calls); this makes it a real host-side capability.
+    Factors are multiplicative (1.0 = identity).  Applied before resize so
+    the fused native resize+normalize path still sees one uint8 input.
+    """
+    x = image.astype(np.float32)
+    x = x * brightness
+    luma = x.mean()
+    x = (x - luma) * contrast + luma
+    gray = x.mean(axis=-1, keepdims=True)
+    x = gray + (x - gray) * saturation
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
 def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
                    std: np.ndarray, max_boxes: int, flip: bool,
+                   photometric: Optional[Tuple[float, float, float]] = None,
                    use_native: bool = True) -> Dict[str, np.ndarray]:
     """Decode/resize/pad/normalize one sample to static shapes.
 
@@ -78,6 +98,8 @@ def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
     image = sample.get("image")
     if image is None:
         image = _imread(sample["image_file"])
+    if photometric is not None and image.dtype == np.uint8:
+        image = photometric_jitter(image, *photometric)
     ih, iw = image.shape[:2]
 
     scale = image_size / max(ih, iw)
@@ -155,25 +177,30 @@ class Pipeline:
         cfg = self.config
         rng = np.random.RandomState(self.seed * 131 + epoch_index)
 
-        def with_flip_flags():
-            # Draw flip decisions sequentially here (single thread) so the
-            # rng is not shared across pool workers and runs are
+        def with_augment_draws():
+            # Draw augmentation decisions sequentially here (single thread)
+            # so the rng is not shared across pool workers and runs are
             # reproducible regardless of worker scheduling.
             for index, sample in self._sample_stream(rng):
                 flip = bool(cfg.augment_flip and self.training
                             and rng.rand() < 0.5)
-                yield index, sample, flip
+                photometric = None
+                if cfg.augment_photometric and self.training:
+                    s = cfg.photometric_strength
+                    photometric = tuple(rng.uniform(1 - s, 1 + s, 3))
+                yield index, sample, flip, photometric
 
         def prepare(item):
-            index, sample, flip = item
+            index, sample, flip, photometric = item
             out = process_sample(sample, cfg.image_size, self._mean,
-                                 self._std, self.max_boxes, flip)
+                                 self._std, self.max_boxes, flip,
+                                 photometric=photometric)
             out["image_id"] = np.int64(index)
             return out
 
         with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
             batch = []
-            for processed in pool.map(prepare, with_flip_flags(),
+            for processed in pool.map(prepare, with_augment_draws(),
                                       chunksize=1):
                 batch.append(processed)
                 if len(batch) == cfg.batch_size:

@@ -70,6 +70,46 @@ def test_process_sample_flip():
                                atol=1e-6)
 
 
+def test_photometric_jitter():
+    from retinanet_tpu.data.pipeline import photometric_jitter
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    # Identity factors → unchanged.
+    np.testing.assert_array_equal(
+        photometric_jitter(image, 1.0, 1.0, 1.0), image)
+    # Brightness scales pixel means (away from clipping).
+    dim = photometric_jitter(image, 0.5, 1.0, 1.0)
+    np.testing.assert_allclose(dim.mean(), image.mean() * 0.5, rtol=0.02)
+    # Saturation 0 → grayscale (channels equal up to rounding).
+    gray = photometric_jitter(image, 1.0, 1.0, 0.0).astype(np.int32)
+    assert np.abs(gray[..., 0] - gray[..., 1]).max() <= 1
+    # Contrast 0 → constant image at the mean luma.
+    flat = photometric_jitter(image, 1.0, 0.0, 1.0)
+    assert np.ptp(flat) <= 1
+    # Output stays uint8 and in range under extreme factors.
+    hot = photometric_jitter(image, 2.0, 2.0, 2.0)
+    assert hot.dtype == np.uint8
+
+
+def test_pipeline_photometric_augment_applied_and_reproducible():
+    dl = Shapes(None, 6, (64, 64))
+    cfg_on = _cfg(augment_photometric=True, photometric_strength=0.5,
+                  shuffle_buffer=1)
+    cfg_off = _cfg(shuffle_buffer=1)
+    on1 = list(Pipeline(dl, cfg_on, max_boxes=8, seed=3).epoch(0))
+    on2 = list(Pipeline(dl, cfg_on, max_boxes=8, seed=3).epoch(0))
+    off = list(Pipeline(dl, cfg_off, max_boxes=8, seed=3).epoch(0))
+    # Deterministic given the seed…
+    for a, b in zip(on1, on2):
+        np.testing.assert_array_equal(a.images, b.images)
+    # …and actually changes pixels vs the unaugmented pipeline.
+    assert any(not np.array_equal(a.images, b.images)
+               for a, b in zip(on1, off))
+    # Boxes are untouched by photometric jitter.
+    for a, b in zip(on1, off):
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+
+
 def test_pipeline_batches():
     dl = Shapes(None, 10, (64, 64))
     pipe = build_pipeline(dl, _cfg(), max_boxes=8)
