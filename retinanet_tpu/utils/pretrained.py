@@ -62,38 +62,87 @@ def load_backbone(params, path: str):
     return {**params, "backbone_net": new_backbone}
 
 
+def _natural_key(name: str):
+    """Numeric-aware sort key: ``Conv_2`` < ``Conv_10`` (plain lexicographic
+    order — what flax's tree flattening uses — sorts ``Conv_10`` first,
+    which silently cross-wires repeated same-shape layers)."""
+    import re
+    return [int(t) if t.isdigit() else t
+            for t in re.split(r"(\d+)", name)]
+
+
+def _name_tokens(name: str) -> tuple:
+    """Separator/case-insensitive token sequence for name matching
+    (``layer1.0.conv1.weight`` ≡ ``layer1/0/conv1/weight``)."""
+    import re
+    return tuple(t for t in re.split(r"[^0-9a-zA-Z]+", name.lower()) if t)
+
+
 def import_flat_weights(params, weights: Dict[str, np.ndarray],
                         subtree: str = "backbone_net"):
-    """Greedy shape-matched import of foreign weights (torch/TF converts).
+    """Name-aware import of foreign weights (torch/TF converts) onto the
+    target subtree.  Two passes:
 
-    Walks the target subtree in deterministic traversal order; for each leaf
-    takes the first unused source array with the same shape.  Returns
-    ``(new_params, report)`` where report lists (target, source) matches and
-    unmatched targets.
+    1. **by name**: targets whose normalized token sequence (case/separator
+       insensitive) equals a source name's, with matching shape;
+    2. **by shape, order-preserving**: remaining targets in *natural* name
+       order (``Conv_2`` before ``Conv_10`` — not flax's lexicographic
+       flatten order) are paired with remaining sources of the same shape in
+       source insertion order, i-th to i-th.  This fixes the round-1 greedy
+       matcher's fragility with >10 repeated same-shape layers.
+
+    Returns ``(new_params, report)``; report lists name/shape matches,
+    unmatched targets, and unused sources — callers should check it.
     """
     target = params[subtree]
     flat, treedef = jax.tree_util.tree_flatten_with_path(target)
-    used = set()
-    matches, unmatched = [], []
-    new_leaves = []
+    named = []
     for path, leaf in flat:
-        name = "/".join(str(getattr(p, "key", p)) for p in path)
-        found = None
-        for src_name, arr in weights.items():
-            if src_name in used:
-                continue
-            if tuple(arr.shape) == tuple(leaf.shape):
-                found = (src_name, arr)
+        named.append(("/".join(str(getattr(p, "key", p)) for p in path),
+                      leaf))
+
+    used: set = set()
+    assigned: Dict[str, str] = {}
+    by_name, by_shape = [], []
+
+    # Pass 1: exact normalized-name matches.
+    src_by_tokens: Dict[tuple, List[str]] = {}
+    for src_name in weights:
+        src_by_tokens.setdefault(_name_tokens(src_name), []).append(src_name)
+    for tname, leaf in named:
+        for src_name in src_by_tokens.get(_name_tokens(tname), []):
+            if src_name not in used and \
+                    tuple(weights[src_name].shape) == tuple(leaf.shape):
+                assigned[tname] = src_name
+                used.add(src_name)
+                by_name.append((tname, src_name))
                 break
-        if found is None:
-            unmatched.append(name)
-            new_leaves.append(leaf)
-        else:
-            used.add(found[0])
-            matches.append((name, found[0]))
-            new_leaves.append(jax.numpy.asarray(found[1], dtype=leaf.dtype))
-    new_subtree = jax.tree_util.tree_unflatten(
-        treedef, new_leaves)
-    report = {"matched": matches, "unmatched": unmatched,
+
+    # Pass 2: per-shape order-preserving pairing, targets in natural order.
+    from collections import deque
+    src_queues: Dict[tuple, deque] = {}
+    for src_name, arr in weights.items():  # insertion order = layer order
+        if src_name not in used:
+            src_queues.setdefault(tuple(arr.shape), deque()).append(src_name)
+    for tname, leaf in sorted(
+            ((n, l) for n, l in named if n not in assigned),
+            key=lambda kv: _natural_key(kv[0])):
+        queue = src_queues.get(tuple(leaf.shape))
+        if queue:
+            src_name = queue.popleft()
+            assigned[tname] = src_name
+            used.add(src_name)
+            by_shape.append((tname, src_name))
+
+    unmatched = [n for n, _ in named if n not in assigned]
+    new_leaves = [
+        jax.numpy.asarray(weights[assigned[name]], dtype=leaf.dtype)
+        if name in assigned else leaf
+        for name, leaf in named]
+    new_subtree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    report = {"matched": by_name + by_shape,
+              "matched_by_name": by_name,
+              "matched_by_shape": by_shape,
+              "unmatched": unmatched,
               "unused_sources": [k for k in weights if k not in used]}
     return {**params, subtree: new_subtree}, report

@@ -119,6 +119,48 @@ def test_pretrained_roundtrip(tmp_path):
         assert np.asarray(leaf).size > 0
 
 
+def test_import_flat_weights_name_aware():
+    """Exact-name matches win regardless of source ordering; remaining
+    leaves pair per-shape in natural (numeric-aware) order — the >10
+    repeated-layer case where lexicographic order (Conv_10 < Conv_2) would
+    cross-wire weights."""
+    from retinanet_tpu.utils.pretrained import import_flat_weights
+
+    # 12 same-shape "convs" + one uniquely-shaped bias.
+    target = {"net": {f"Conv_{i}": {"kernel": jnp.zeros((3, 3))}
+                      for i in range(12)}}
+    target["net"]["bias"] = jnp.zeros((7,))
+
+    # Sources named differently (torch-style), in definition order, each
+    # tagged with its layer index so we can verify alignment.
+    weights = {f"features.{i}.conv.weight": np.full((3, 3), float(i))
+               for i in range(12)}
+    weights["head.bias"] = np.arange(7, dtype=np.float32)
+
+    out, report = import_flat_weights(target, weights, subtree="net")
+    assert not report["unmatched"]
+    assert not report["unused_sources"]
+    # Natural order pairing: Conv_i gets layer i (lexicographic flatten
+    # order would give Conv_10 the value 2).
+    for i in range(12):
+        np.testing.assert_array_equal(
+            np.asarray(out["net"][f"Conv_{i}"]["kernel"]),
+            np.full((3, 3), float(i)), err_msg=f"Conv_{i}")
+
+    # Name-aware pass: shuffled source order + exact (normalized) names
+    # must still land each weight on its named target.
+    target2 = {"net": {f"block_{i}": {"kernel": jnp.zeros((2, 2))}
+                       for i in range(4)}}
+    weights2 = {f"block.{i}.kernel": np.full((2, 2), float(i))
+                for i in (2, 0, 3, 1)}  # deliberately out of order
+    out2, report2 = import_flat_weights(target2, weights2, subtree="net")
+    assert len(report2["matched_by_name"]) == 4
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(out2["net"][f"block_{i}"]["kernel"]),
+            np.full((2, 2), float(i)))
+
+
 def test_draw_bounding_boxes():
     from retinanet_tpu.utils.draw import draw_bounding_boxes
     img = np.zeros((32, 32, 3), np.float32)
