@@ -11,9 +11,10 @@ import sys
 BASELINE_IMAGES_PER_SEC = 2000.0
 
 
-def main():
+def main(argv=None):
     from retinanet_tpu.utils.cli import enable_compilation_cache
     enable_compilation_cache()
+    import argparse
     import dataclasses
 
     import jax
@@ -21,19 +22,27 @@ def main():
     from retinanet_tpu.config import Config
     from retinanet_tpu.infer import benchmark
 
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=["none", "int8"])
+    parser.add_argument("--backbone", type=str, default="resnet_50_dense")
+    parser.add_argument("--skip-train-bench", action="store_true")
+    args = parser.parse_args(argv)
+
     config = Config()
     # Flagship: dense ResNet-50 (the reference's 'resnet_50' is ResNeXt,
     # whose 4-channel grouped convs waste the MXU; both are available).
     config = dataclasses.replace(
         config, model=dataclasses.replace(config.model,
-                                          backbone="resnet_50_dense"))
+                                          backbone=args.backbone,
+                                          quantize=args.quantize))
     on_tpu = jax.default_backend() == "tpu"
     batch_size = 64 if on_tpu else 2
     steps = 20 if on_tpu else 2
     result = benchmark(config, batch_size=batch_size, steps=steps,
                        warmup=3 if on_tpu else 1, num_classes=80)
 
-    print(json.dumps({
+    record = {
         "metric": "resnet50_fpn_retinanet_inference_640px",
         "value": round(result["images_per_sec"], 2),
         "unit": "images/sec/chip",
@@ -42,7 +51,31 @@ def main():
         "p50_latency_ms": round(result["p50_latency_ms"], 2),
         "batch_size": result["batch_size"],
         "backend": jax.default_backend(),
-    }))
+    }
+
+    # Train-step throughput (assignment + fwd + bwd + optimizer), same
+    # flagship config (training is always float — quantize is serving-only).
+    try:
+        from retinanet_tpu.train import benchmark_train
+        train_cfg = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, quantize="none"))
+        if not on_tpu:
+            train_cfg = dataclasses.replace(
+                train_cfg,
+                data=dataclasses.replace(train_cfg.data, image_size=64))
+        if args.skip_train_bench:
+            raise RuntimeError("skipped by flag")
+        train = benchmark_train(
+            train_cfg, batch_size=32 if on_tpu else 2,
+            steps=10 if on_tpu else 1, warmup=2 if on_tpu else 1,
+            num_classes=80 if on_tpu else 4)
+        record["train_images_per_sec"] = round(train["images_per_sec"], 2)
+        record["train_step_ms"] = round(train["step_ms"], 2)
+        record["train_batch_size"] = train["batch_size"]
+    except Exception as e:  # never lose the headline metric
+        record["train_bench_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

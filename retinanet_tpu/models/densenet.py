@@ -23,7 +23,7 @@ import flax.linen as nn
 from jax import Array
 
 from retinanet_tpu.models.layers import (
-    Conv, GroupNorm, avg_pool_same, get_activation, max_pool_same)
+    Conv, GroupNorm, avg_pool_same, max_pool_same)
 
 
 class BottleneckComposite(nn.Module):
@@ -32,19 +32,19 @@ class BottleneckComposite(nn.Module):
     growth_rate: int
     activation: str
     dropout_rate: float
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
-        act = get_activation(self.activation)
-        x = GroupNorm(dtype=self.dtype)(x)
-        x = act(x)
-        x = Conv(self.growth_rate * 4, kernel_size=1, dtype=self.dtype)(x)
+        x = GroupNorm(activation=self.activation, dtype=self.dtype)(x)
+        x = Conv(self.growth_rate * 4, kernel_size=1,
+                 quantize=self.quantize, dtype=self.dtype)(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
-        x = GroupNorm(dtype=self.dtype)(x)
-        x = act(x)
-        x = Conv(self.growth_rate, kernel_size=3, dtype=self.dtype)(x)
+        x = GroupNorm(activation=self.activation, dtype=self.dtype)(x)
+        x = Conv(self.growth_rate, kernel_size=3,
+                 quantize=self.quantize, dtype=self.dtype)(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         return x
@@ -58,6 +58,7 @@ class DenseBlock(nn.Module):
     activation: str
     dropout_rate: float
     remat: bool = False
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -67,7 +68,7 @@ class DenseBlock(nn.Module):
         for _ in range(self.depth):
             composite = BottleneckComposite(
                 self.growth_rate, self.activation, self.dropout_rate,
-                dtype=self.dtype)
+                quantize=self.quantize, dtype=self.dtype)
             out = remat_call(composite, x, training, self.remat)
             x = jnp.concatenate([x, out], axis=-1)
         return x
@@ -78,13 +79,15 @@ class TransitionLayer(nn.Module):
 
     compression_factor: float
     dropout_rate: float
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
         filters = int(x.shape[-1] * self.compression_factor)
         x = GroupNorm(dtype=self.dtype)(x)
-        x = Conv(filters, kernel_size=1, dtype=self.dtype)(x)
+        x = Conv(filters, kernel_size=1, quantize=self.quantize,
+                 dtype=self.dtype)(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         return avg_pool_same(x, 2, 2)
@@ -99,40 +102,43 @@ class DenseNetBC(nn.Module):
     activation: str = "elu"
     dropout_rate: float = 0.2
     remat: bool = False
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Dict[str, Array]:
-        act = get_activation(self.activation)
         # Stem: 7×7/2 conv(2k) + GN + act → C1, then maxpool 3/2.
         x = Conv(2 * self.growth_rate, kernel_size=7, strides=2,
                  dtype=self.dtype)(x)
-        x = GroupNorm(dtype=self.dtype)(x)
-        x = act(x)
+        x = GroupNorm(activation=self.activation, dtype=self.dtype)(x)
         taps = {"C1": x}
         x = max_pool_same(x, 3, 2)
 
         for i, depth in enumerate(self.blocks):
             x = DenseBlock(self.growth_rate, depth, self.activation,
                            self.dropout_rate, remat=self.remat,
+                           quantize=self.quantize,
                            dtype=self.dtype)(x, training=training)
             taps[f"C{i + 2}"] = x
             if i < len(self.blocks) - 1:
                 x = TransitionLayer(self.compression_factor,
-                                    self.dropout_rate, dtype=self.dtype)(
-                                        x, training=training)
+                                    self.dropout_rate,
+                                    quantize=self.quantize,
+                                    dtype=self.dtype)(x, training=training)
         return taps
 
 
 def DenseNetBC121(activation: str = "elu", dropout_rate: float = 0.2,
-                  remat: bool = False,
+                  remat: bool = False, quantize: bool = False,
                   dtype: Any = jnp.bfloat16) -> DenseNetBC:
     return DenseNetBC(blocks=(6, 12, 24, 16), activation=activation,
-                      dropout_rate=dropout_rate, remat=remat, dtype=dtype)
+                      dropout_rate=dropout_rate, remat=remat,
+                      quantize=quantize, dtype=dtype)
 
 
 def DenseNetBC169(activation: str = "elu", dropout_rate: float = 0.2,
-                  remat: bool = False,
+                  remat: bool = False, quantize: bool = False,
                   dtype: Any = jnp.bfloat16) -> DenseNetBC:
     return DenseNetBC(blocks=(6, 12, 32, 32), activation=activation,
-                      dropout_rate=dropout_rate, remat=remat, dtype=dtype)
+                      dropout_rate=dropout_rate, remat=remat,
+                      quantize=quantize, dtype=dtype)

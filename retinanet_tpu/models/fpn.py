@@ -22,17 +22,19 @@ class UpsampleMerge(nn.Module):
     """lateral 1×1+GN; upsample; add; 3×3 merge+GN (``retinanet.py:121-160``)."""
 
     channels: int = 256
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, lateral: Array, downsampled: Array, *,
                  training: bool = False) -> Array:
         lateral = ConvGN(self.channels, kernel_size=1,
-                         kernel_init=normal_001,
+                         kernel_init=normal_001, quantize=self.quantize,
                          dtype=self.dtype)(lateral, training=training)
         downsampled = nearest_upsample(downsampled, lateral.shape[1:3])
         merged = lateral + downsampled
         return ConvGN(self.channels, kernel_size=3, kernel_init=normal_001,
+                      quantize=self.quantize,
                       dtype=self.dtype)(merged, training=training)
 
 
@@ -41,6 +43,7 @@ class FPN(nn.Module):
 
     channels: int = 256
     activation: str = "elu"
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -48,15 +51,16 @@ class FPN(nn.Module):
                  training: bool = False) -> Dict[str, Array]:
         act = get_activation(self.activation)
         p6 = ConvGN(self.channels, kernel_size=3, strides=2,
-                    kernel_init=normal_001, dtype=self.dtype)(
-                        c["C5"], training=training)
-        p7 = ConvGN(self.channels, kernel_size=3, strides=2,
-                    kernel_init=normal_001, dtype=self.dtype)(
-                        act(p6), training=training)
-        p5 = ConvGN(self.channels, kernel_size=1, kernel_init=normal_001,
+                    kernel_init=normal_001, quantize=self.quantize,
                     dtype=self.dtype)(c["C5"], training=training)
-        p4 = UpsampleMerge(self.channels, dtype=self.dtype)(
-            c["C4"], p5, training=training)
-        p3 = UpsampleMerge(self.channels, dtype=self.dtype)(
-            c["C3"], p4, training=training)
+        p7 = ConvGN(self.channels, kernel_size=3, strides=2,
+                    kernel_init=normal_001, quantize=self.quantize,
+                    dtype=self.dtype)(act(p6), training=training)
+        p5 = ConvGN(self.channels, kernel_size=1, kernel_init=normal_001,
+                    quantize=self.quantize,
+                    dtype=self.dtype)(c["C5"], training=training)
+        p4 = UpsampleMerge(self.channels, quantize=self.quantize,
+                           dtype=self.dtype)(c["C4"], p5, training=training)
+        p3 = UpsampleMerge(self.channels, quantize=self.quantize,
+                           dtype=self.dtype)(c["C3"], p4, training=training)
         return {"P3": p3, "P4": p4, "P5": p5, "P6": p6, "P7": p7}

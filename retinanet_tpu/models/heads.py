@@ -31,6 +31,7 @@ class ClassificationSubnet(nn.Module):
     depth: int = 4
     activation: str = "elu"
     prior_prob: float = 0.01
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -38,6 +39,7 @@ class ClassificationSubnet(nn.Module):
         for _ in range(self.depth):
             x = ConvGN(self.channels, kernel_size=3,
                        activation=self.activation, kernel_init=normal_001,
+                       quantize=self.quantize,
                        dtype=self.dtype)(x, training=training)
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_prob) / self.prior_prob))
@@ -54,6 +56,7 @@ class RegressionSubnet(nn.Module):
     channels: int = 256
     depth: int = 4
     activation: str = "elu"
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -61,6 +64,7 @@ class RegressionSubnet(nn.Module):
         for _ in range(self.depth):
             x = ConvGN(self.channels, kernel_size=3,
                        activation=self.activation, kernel_init=normal_001,
+                       quantize=self.quantize,
                        dtype=self.dtype)(x, training=training)
         x = Conv(self.num_anchors * 4, kernel_size=3, use_bias=True,
                  kernel_init=normal_001, dtype=self.dtype)(x)

@@ -41,16 +41,26 @@ def get_activation(name: str) -> Callable[[Array], Array]:
 
 
 class GroupNorm(nn.Module):
-    """Reference-exact GroupNorm (``normalization.py:4-35``).
+    """Reference-exact GroupNorm (``normalization.py:4-35``), with an
+    optional fused activation.
 
     ``groups`` is capped at the channel count; moments are computed in fp32
     over (H, W, C/G) per group.  The capping means channel counts below 32
     degrade towards InstanceNorm — the reference relies on this (e.g. the
     ResNeXt per-split norms are all effectively per-channel).
+
+    On TPU the norm+activation runs as a fused two-kernel Pallas op
+    (``ops/pallas/groupnorm.py``) — one streaming stats pass + one fused
+    affine+activation pass.  XLA compiled the same math to ~144 GB/s
+    apparent bandwidth (5.8× off roofline) at head shapes; GN+ELU was
+    costing more than the convs around it.  The jnp path below is the
+    semantic reference and the CPU/fallback implementation.
     """
 
     groups: int = 32
     eps: float = 1e-5
+    activation: Optional[str] = None
+    use_pallas: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -66,6 +76,16 @@ class GroupNorm(nn.Module):
 
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+
+        # Fused path only where it pays: small tensors (<0.5 MB bf16) cost
+        # ~nothing either way, and every distinct shape is a separate Mosaic
+        # kernel compile.
+        if self.use_pallas and h * w * c >= (1 << 18) \
+                and jax.default_backend() == "tpu":
+            from retinanet_tpu.ops.pallas.groupnorm import fused_group_norm_act
+            out = fused_group_norm_act(x, gamma, beta, groups, self.eps,
+                                       self.activation)
+            return out.astype(self.dtype)
 
         # HBM-lean two-pass formulation (measured 1.2× backbone speedup over
         # the naive reshape-moments version): pass 1 reduces per-channel
@@ -91,11 +111,22 @@ class GroupNorm(nn.Module):
         # Apply in the input dtype: bf16 tensors stay bf16 through the
         # affine (one read + one write), fp32 tensors get exact math.
         out = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+        if self.activation is not None:
+            out = get_activation(self.activation)(out)
         return out.astype(self.dtype)
 
 
 class Conv(nn.Module):
-    """NHWC conv wrapper: bf16 compute, fp32 params, optional groups."""
+    """NHWC conv: bf16 compute, fp32 params, optional groups, optional
+    int8 post-training quantization.
+
+    ``quantize=True`` runs the convolution on the MXU's int8 path
+    (v5e: 394 TOPS int8 vs 197 TFLOP/s bf16): activations are quantized
+    per-tensor (dynamic absmax), weights per-output-channel (symmetric),
+    the conv accumulates in int32 and the epilogue dequantizes back to the
+    compute dtype.  No calibration pass is needed; GroupNorm after every
+    conv keeps activation scales well-behaved for dynamic quantization.
+    """
 
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 3
@@ -105,20 +136,70 @@ class Conv(nn.Module):
     feature_group_count: int = 1
     kernel_init: Callable = he_normal
     bias_init: Callable = nn.initializers.zeros
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         k = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) \
-            else self.kernel_size
+            else tuple(self.kernel_size)
         s = (self.strides,) * 2 if isinstance(self.strides, int) \
-            else self.strides
-        return nn.Conv(
-            features=self.features, kernel_size=k, strides=s,
-            padding=self.padding, use_bias=self.use_bias,
-            feature_group_count=self.feature_group_count,
-            kernel_init=self.kernel_init, bias_init=self.bias_init,
-            dtype=self.dtype, param_dtype=jnp.float32)(x)
+            else tuple(self.strides)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*k, x.shape[-1] // self.feature_group_count, self.features),
+            jnp.float32)
+        if self.quantize:
+            y = _int8_conv(x, kernel, s, self.padding,
+                           self.feature_group_count, self.dtype)
+        elif k == (1, 1) and s == (1, 1) and self.feature_group_count == 1 \
+                and not (x.shape[1] * x.shape[2] >= 25600
+                         and self.features < x.shape[-1]):
+            # 1×1 stride-1 conv as a plain matmul: measured 1.2-1.6× over
+            # XLA's conv lowering at ResNet bottleneck shapes (v5e; the one
+            # exception — large-spatial channel *reductions* — is excluded
+            # by the gate above).
+            b, h, w, cin = x.shape
+            y = jax.lax.dot_general(
+                x.astype(self.dtype).reshape(b * h * w, cin),
+                kernel.astype(self.dtype).reshape(cin, self.features),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=self.dtype).reshape(
+                    b, h, w, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), s,
+                self.padding,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _int8_conv(x: Array, kernel: Array, strides, padding: str,
+               feature_group_count: int, out_dtype: Dtype) -> Array:
+    """s8×s8→s32 convolution with symmetric dynamic quantization.
+
+    activations: per-tensor scale (absmax/127, computed on device — no
+    calibration); weights: per-output-channel scale.  The int32 accumulator
+    is exact; the only quantization error is the input rounding.
+    """
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+    s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                      1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, padding,
+        feature_group_count=feature_group_count,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (s_x * s_w)).astype(out_dtype)
 
 
 class ConvGN(nn.Module):
@@ -137,16 +218,17 @@ class ConvGN(nn.Module):
     activation: Optional[str] = None
     dropout_rate: float = 0.0
     kernel_init: Callable = he_normal
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
         x = Conv(self.features, self.kernel_size, self.strides,
                  feature_group_count=self.feature_group_count,
-                 kernel_init=self.kernel_init, dtype=self.dtype)(x)
-        x = GroupNorm(groups=self.gn_groups, dtype=self.dtype)(x)
-        if self.activation is not None:
-            x = get_activation(self.activation)(x)
+                 kernel_init=self.kernel_init, quantize=self.quantize,
+                 dtype=self.dtype)(x)
+        x = GroupNorm(groups=self.gn_groups, activation=self.activation,
+                      dtype=self.dtype)(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         return x

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import Array
 
-from retinanet_tpu.models.layers import Conv, ConvGN, GroupNorm, get_activation
+from retinanet_tpu.models.layers import Conv, ConvGN, GroupNorm
 
 # (filters, expansion, stride, repeats) per stage — mobilenet_v2.py:119-176.
 _STAGES = (
@@ -41,6 +41,7 @@ class Bottleneck(nn.Module):
     expansion: int
     activation: str
     dropout_rate: float
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -51,18 +52,20 @@ class Bottleneck(nn.Module):
         # expand 1×1 → GN → act → dropout
         x = ConvGN(in_ch * self.expansion, kernel_size=1,
                    activation=self.activation, dropout_rate=self.dropout_rate,
+                   quantize=self.quantize,
                    dtype=self.dtype)(x, training=training)
         # depthwise 3×3 → GN → act → dropout
         ch = x.shape[-1]
+        # Depthwise convs stay unquantized: they're bandwidth-bound (no
+        # MXU win) and per-channel dynamics make them quant-sensitive.
         x = Conv(ch, kernel_size=3, strides=self.strides,
                  feature_group_count=ch, dtype=self.dtype)(x)
-        x = GroupNorm(dtype=self.dtype)(x)
-        x = get_activation(self.activation)(x)
+        x = GroupNorm(activation=self.activation, dtype=self.dtype)(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         # linear 1×1 → GN → dropout (no activation)
         x = ConvGN(self.filters, kernel_size=1, activation=None,
-                   dropout_rate=self.dropout_rate,
+                   dropout_rate=self.dropout_rate, quantize=self.quantize,
                    dtype=self.dtype)(x, training=training)
 
         if x.shape == identity.shape:
@@ -76,6 +79,7 @@ class MobileNetV2(nn.Module):
     activation: str = "elu"
     dropout_rate: float = 0.2
     remat: bool = False
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -95,7 +99,8 @@ class MobileNetV2(nn.Module):
                 block = Bottleneck(
                     filters=filters, strides=stride if r == 0 else 1,
                     expansion=expansion, activation=self.activation,
-                    dropout_rate=self.dropout_rate, dtype=self.dtype)
+                    dropout_rate=self.dropout_rate, quantize=self.quantize,
+                    dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             if i in tap_after_stage:
                 taps[tap_after_stage[i]] = x

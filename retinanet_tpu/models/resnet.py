@@ -45,6 +45,7 @@ class ResNeXtBottleneck(nn.Module):
     filters: int  # stage width; conv1/conv2 = 2x, output = 4x
     project: Union[bool, str]  # False | True | 'down'
     cardinality: int = 32
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -53,22 +54,26 @@ class ResNeXtBottleneck(nn.Module):
         if self.project == "down":
             # Reference quirk: 3×3/2 projection (resnet.py:33-36).
             identity = ConvGN(self.filters * 4, kernel_size=3, strides=2,
+                              quantize=self.quantize,
                               dtype=self.dtype)(identity, training=training)
         elif self.project:
             identity = ConvGN(self.filters * 4, kernel_size=1,
+                              quantize=self.quantize,
                               dtype=self.dtype)(identity, training=training)
 
         width = self.filters * 2
         x = ConvGN(width, kernel_size=1, activation="relu",
+                   quantize=self.quantize,
                    dtype=self.dtype)(x, training=training)
         # Grouped 3×3: one conv replaces the reference's 32-conv Python loop;
         # gn_groups=width reproduces the per-split per-channel norms.
         strides = 2 if self.project == "down" else 1
         x = Conv(width, kernel_size=3, strides=strides,
-                 feature_group_count=self.cardinality, dtype=self.dtype)(x)
-        x = GroupNorm(groups=width, dtype=self.dtype)(x)
-        x = jax.nn.relu(x)
-        x = ConvGN(self.filters * 4, kernel_size=1,
+                 feature_group_count=self.cardinality,
+                 quantize=self.quantize, dtype=self.dtype)(x)
+        x = GroupNorm(groups=width, activation="relu",
+                      dtype=self.dtype)(x)
+        x = ConvGN(self.filters * 4, kernel_size=1, quantize=self.quantize,
                    dtype=self.dtype)(x, training=training)
         return jax.nn.relu(x + identity)
 
@@ -84,6 +89,7 @@ class ResNetBottleneck(nn.Module):
 
     filters: int
     project: Union[bool, str]
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -92,13 +98,15 @@ class ResNetBottleneck(nn.Module):
         strides = 2 if self.project == "down" else 1
         if self.project:
             identity = ConvGN(self.filters * 4, kernel_size=1,
-                              strides=strides,
+                              strides=strides, quantize=self.quantize,
                               dtype=self.dtype)(identity, training=training)
         x = ConvGN(self.filters, kernel_size=1, activation="relu",
+                   quantize=self.quantize,
                    dtype=self.dtype)(x, training=training)
         x = ConvGN(self.filters, kernel_size=3, strides=strides,
-                   activation="relu", dtype=self.dtype)(x, training=training)
-        x = ConvGN(self.filters * 4, kernel_size=1,
+                   activation="relu", quantize=self.quantize,
+                   dtype=self.dtype)(x, training=training)
+        x = ConvGN(self.filters * 4, kernel_size=1, quantize=self.quantize,
                    dtype=self.dtype)(x, training=training)
         return jax.nn.relu(x + identity)
 
@@ -110,10 +118,13 @@ class ResNet50(nn.Module):
     activation: str = "elu"
     dropout_rate: float = 0.0
     remat: bool = False
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Dict[str, Array]:
+        # Stem stays unquantized: the 3-channel input conv is
+        # bandwidth-bound and the most quantization-sensitive layer.
         x = ConvGN(64, kernel_size=7, strides=2, activation="relu",
                    dtype=self.dtype)(x, training=training)
         taps = {"C1": x}
@@ -125,6 +136,7 @@ class ResNet50(nn.Module):
             for i in range(depth):
                 project = ("down" if downsample else True) if i == 0 else False
                 block = ResNetBottleneck(filters=filters, project=project,
+                                         quantize=self.quantize,
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x
@@ -141,6 +153,7 @@ class ResNeXt50(nn.Module):
     activation: str = "elu"  # accepted for API parity; blocks use relu
     dropout_rate: float = 0.0  # reference ResNeXt has no dropout
     remat: bool = False
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -156,6 +169,7 @@ class ResNeXt50(nn.Module):
             for i in range(depth):
                 project = ("down" if downsample else True) if i == 0 else False
                 block = ResNeXtBottleneck(filters=filters, project=project,
+                                          quantize=self.quantize,
                                           dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x

@@ -55,25 +55,48 @@ def decode_level(
     top_k: int,
     score_threshold: float,
 ) -> BoxesDecoded:
-    """Top-k candidates of one pyramid level (replaces boolean-mask decode)."""
-    b = classifications.shape[0]
-    probs = jax.nn.sigmoid(classifications.astype(jnp.float32))
-    scores_map = jnp.max(probs, axis=-1)                   # [B,H,W,A]
-    ids_map = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B,H,W,A]
-    boxes_map = box_ops.regression_postprocess(
-        regressions.astype(jnp.float32), anchor_sizes)     # [B,H,W,A,4]
+    """Top-k candidates of one pyramid level (replaces boolean-mask decode).
 
-    scores_flat = scores_map.reshape(b, -1)
-    n = scores_flat.shape[1]
+    Sparse decode: top-k runs on the raw max-logit map (sigmoid is monotone,
+    so max-prob order == max-logit order) and only the k winners are
+    sigmoided and box-decoded — the dense-map version materialized fp32
+    probs + a full [B,H,W,A,4] decoded boxmap (≈5 extra HBM passes of the
+    class volume per level, measured ~13 ms of the 83 ms b32@640 inference).
+    Anchor geometry is reconstructed arithmetically from the flat index, so
+    nothing dense is gathered.  Semantics identical to
+    ``regression_postprocess`` (reference ``utils.py:116-126``).
+    """
+    b, h, w, a = classifications.shape[:4]
+    logits = classifications.astype(jnp.float32)
+    best_logit = jnp.max(logits, axis=-1)                    # [B,H,W,A]
+    ids_map = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,H,W,A]
+
+    n = h * w * a
     k = min(top_k, n)
-    top_scores, top_idx = jax.lax.top_k(scores_flat, k)
-    gather = lambda m: jnp.take_along_axis(m.reshape(b, n, -1),
-                                           top_idx[..., None], axis=1)
+    top_logits, top_idx = jax.lax.top_k(best_logit.reshape(b, -1), k)
+    scores = jax.nn.sigmoid(top_logits)
+
+    regr = jnp.take_along_axis(
+        regressions.astype(jnp.float32).reshape(b, n, 4),
+        top_idx[..., None], axis=1)                          # [B,k,4]
+    ids = jnp.take_along_axis(ids_map.reshape(b, n), top_idx, axis=1)
+
+    # Flat index = (y·W + x)·A + a → anchor center/size without dense maps.
+    ai = top_idx % a
+    cell = top_idx // a
+    cy = ((cell // w).astype(jnp.float32) + 0.5) / h
+    cx = ((cell % w).astype(jnp.float32) + 0.5) / w
+    asz = anchor_sizes.astype(jnp.float32)[ai]               # [B,k,2]
+    shift, log_scale = jnp.split(regr, 2, axis=-1)
+    center = shift * asz + jnp.stack([cy, cx], axis=-1)
+    size = jnp.exp(log_scale) * asz
+    boxes = box_ops.from_center_box(
+        jnp.concatenate([center, size], axis=-1))
     return BoxesDecoded(
-        boxes=gather(boxes_map).reshape(b, k, 4),
-        scores=top_scores,
-        class_ids=gather(ids_map[..., None]).reshape(b, k),
-        valid=top_scores > score_threshold,
+        boxes=boxes,
+        scores=scores,
+        class_ids=ids,
+        valid=scores > score_threshold,
     )
 
 

@@ -138,3 +138,52 @@ def test_groupnorm_caps_groups_at_channels():
     variables = gn.init(jax.random.PRNGKey(0), x)
     out = gn.apply(variables, x)
     assert out.shape == x.shape
+
+
+def test_int8_quantized_matches_float_closely():
+    """quantize='int8' keeps the float model's param tree and approximates
+    its outputs (dynamic per-tensor activation + per-channel weight quant).
+    Uses the same params for both models: the quantized model is a serving
+    transform, not a retrain."""
+    import dataclasses
+    from retinanet_tpu.config import ModelConfig
+
+    cfg = ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                      dropout_rate=0.0, compute_dtype="float32")
+    cfg_q = dataclasses.replace(cfg, quantize="int8")
+    mf = RetinaNet.from_config(cfg, num_anchors=9)
+    mq = RetinaNet.from_config(cfg_q, num_anchors=9)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), F32)
+    params = mf.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    params_q = mq.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_q)
+
+    of = mf.apply({"params": params}, x, training=False)
+    oq = mq.apply({"params": params}, x, training=False)
+    for k in of["classifications"]:
+        a = np.asarray(of["classifications"][k])
+        b = np.asarray(oq["classifications"][k])
+        # Logits stay in the same regime — loose bound; exact parity is a
+        # per-layer property (quantization error compounds through depth).
+        assert np.abs(a - b).max() < 1.0, k
+        assert np.isfinite(b).all()
+
+
+def test_conv_1x1_dot_path_matches_conv():
+    """The 1×1-as-matmul fast path must be numerically identical to the
+    conv lowering (same kernel, same params)."""
+    from retinanet_tpu.models.layers import Conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32), F32)
+    conv = Conv(features=16, kernel_size=1, dtype=F32)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    y_dot = conv.apply(params, x)  # small spatial -> dot path
+    # Reference: raw lax conv with the same kernel.
+    kernel = params["params"]["kernel"]
+    y_conv = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv),
+                               atol=1e-5, rtol=1e-5)
