@@ -107,6 +107,13 @@ class DataConfig:
 
     dataset: Tuple[str, ...] = ("shapes", "/tmp/shapes", "100", "256")
     image_size: int = 640  # static square size (reference: dynamic shorter-side=scale)
+    # Rectangular canvas buckets, e.g. ((640, 640), (640, 448), (448, 640)):
+    # each image goes to the least-padding bucket, batches are
+    # bucket-homogeneous, and jit compiles one train-step program per
+    # bucket — recovers most of the padding FLOPs square canvases waste on
+    # non-square datasets while keeping every shape static.  None = single
+    # square canvas of image_size.
+    buckets: Optional[Tuple[Tuple[int, int], ...]] = None
     batch_size: int = 8  # per-step global batch (reference: fixed 2 = img + flip)
     shuffle_buffer: int = 4096  # train.py:197
     augment_flip: bool = True

@@ -84,11 +84,33 @@ def photometric_jitter(image: np.ndarray, brightness: float, contrast: float,
     return np.clip(x, 0, 255).astype(np.uint8)
 
 
-def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
+def _canvas_hw(image_size) -> Tuple[int, int]:
+    if isinstance(image_size, (tuple, list)):
+        return int(image_size[0]), int(image_size[1])
+    return int(image_size), int(image_size)
+
+
+def pick_bucket(ih: int, iw: int, buckets) -> Tuple[int, int]:
+    """Bucket with the least padding waste for an (ih, iw) image, after
+    aspect-preserving scaling to fit — rectangular canvases cut the padding
+    FLOPs square canvases waste on non-square datasets."""
+    best = None
+    for bh, bw in buckets:
+        scale = min(bh / ih, bw / iw)
+        waste = bh * bw - (ih * scale) * (iw * scale)
+        if best is None or waste < best[0]:
+            best = (waste, (int(bh), int(bw)))
+    return best[1]
+
+
+def process_sample(sample: Dict, image_size, mean: np.ndarray,
                    std: np.ndarray, max_boxes: int, flip: bool,
                    photometric: Optional[Tuple[float, float, float]] = None,
                    use_native: bool = True) -> Dict[str, np.ndarray]:
     """Decode/resize/pad/normalize one sample to static shapes.
+
+    ``image_size``: int (square canvas) or (h, w) (rectangular bucket).
+    Boxes are normalized per-dimension to canvas-relative [0, 1]².
 
     When the native host library is available, resize + [0,1] scaling +
     mean/std normalization + padding run as one fused multithreaded C++ pass
@@ -101,8 +123,9 @@ def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
     if photometric is not None and image.dtype == np.uint8:
         image = photometric_jitter(image, *photometric)
     ih, iw = image.shape[:2]
+    ch, cw = _canvas_hw(image_size)
 
-    scale = image_size / max(ih, iw)
+    scale = min(ch / ih, cw / iw)
     nh, nw = max(1, round(ih * scale)), max(1, round(iw * scale))
     boxes = sample["boxes"].astype(np.float32) * scale  # canvas pixels
     class_ids = sample["class_ids"].astype(np.int32)
@@ -117,15 +140,16 @@ def process_sample(sample: Dict, image_size: int, mean: np.ndarray,
     canvas = None
     if use_native and image.dtype == np.uint8:
         from retinanet_tpu import native
-        canvas = native.resize_normalize(image, image_size, nh, nw,
+        canvas = native.resize_normalize(image, (ch, cw), nh, nw,
                                          mean, std)
     if canvas is None:
         resized = _resize(image, nh, nw)
-        canvas = np.zeros((image_size, image_size, 3), np.float32)
+        canvas = np.zeros((ch, cw, 3), np.float32)
         canvas[:nh, :nw] = resized.astype(np.float32) / 255.0
         canvas = (canvas - mean) / std
 
-    boxes = boxes / image_size  # canvas-relative [0, 1]
+    # Canvas-relative [0, 1] per dimension ((t,l,b,r) / (H,W,H,W)).
+    boxes = boxes / np.asarray([ch, cw, ch, cw], np.float32)
     n = min(len(boxes), max_boxes)
     out_boxes = np.zeros((max_boxes, 4), np.float32)
     out_ids = np.zeros((max_boxes,), np.int32)
@@ -192,27 +216,44 @@ class Pipeline:
 
         def prepare(item):
             index, sample, flip, photometric = item
-            out = process_sample(sample, cfg.image_size, self._mean,
+            canvas = cfg.image_size
+            if cfg.buckets:
+                image = sample.get("image")
+                if image is None:
+                    image = _imread(sample["image_file"])
+                    sample = {**sample, "image": image}
+                canvas = pick_bucket(image.shape[0], image.shape[1],
+                                     cfg.buckets)
+            out = process_sample(sample, canvas, self._mean,
                                  self._std, self.max_boxes, flip,
                                  photometric=photometric)
             out["image_id"] = np.int64(index)
+            out["canvas"] = canvas
             return out
 
+        def make_batch(samples):
+            return Batch(
+                images=np.stack([s["image"] for s in samples]),
+                boxes=np.stack([s["boxes"] for s in samples]),
+                class_ids=np.stack([s["class_ids"] for s in samples]),
+                box_mask=np.stack([s["box_mask"] for s in samples]),
+                image_ids=np.stack([s["image_id"] for s in samples]),
+                scales=np.stack([s["scale"] for s in samples]),
+            )
+
         with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
-            batch = []
+            # One accumulator per canvas: with buckets enabled, a batch is
+            # homogeneous in canvas shape (one compiled program per bucket);
+            # without buckets there is a single accumulator.  Per-bucket
+            # remainders are dropped like the final short batch.
+            pending: Dict[tuple, list] = {}
             for processed in pool.map(prepare, with_augment_draws(),
                                       chunksize=1):
-                batch.append(processed)
-                if len(batch) == cfg.batch_size:
-                    yield Batch(
-                        images=np.stack([s["image"] for s in batch]),
-                        boxes=np.stack([s["boxes"] for s in batch]),
-                        class_ids=np.stack([s["class_ids"] for s in batch]),
-                        box_mask=np.stack([s["box_mask"] for s in batch]),
-                        image_ids=np.stack([s["image_id"] for s in batch]),
-                        scales=np.stack([s["scale"] for s in batch]),
-                    )
-                    batch = []
+                key = tuple(np.shape(processed["image"])[:2])
+                bucket = pending.setdefault(key, [])
+                bucket.append(processed)
+                if len(bucket) == cfg.batch_size:
+                    yield make_batch(pending.pop(key))
 
     def prefetched(self, epoch_index: int = 0) -> Iterator[Batch]:
         """epoch() with a background producer thread."""

@@ -30,16 +30,17 @@ from retinanet_tpu.ops.nms import BoxesDecoded, decode_levels, nms_padded
 
 def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
                       use_pallas: Optional[bool] = None):
-    """(params, images [B,S,S,3]) → BoxesDecoded, fully jit-compiled."""
-    image_size = config.data.image_size
+    """(params, images [B,H,W,3]) → BoxesDecoded, fully jit-compiled."""
     nms_cfg = config.nms
     if use_pallas is None:
         use_pallas = nms_cfg.use_pallas and jax.default_backend() == "tpu"
 
     def infer(params, images: Array) -> BoxesDecoded:
         out = model.apply({"params": params}, images, training=False)
+        # Canvas dims from the batch itself: rectangular-bucket batches
+        # decode correctly through the same jitted fn (one program/shape).
         decoded = decode_levels(out["classifications"], out["regressions"],
-                                levels, image_size, nms_cfg)
+                                levels, images.shape[1:3], nms_cfg)
         return nms_padded(decoded, iou_threshold=nms_cfg.iou_threshold,
                           max_output_size=nms_cfg.max_output_size,
                           classwise=True, use_pallas=use_pallas,

@@ -49,18 +49,20 @@ class GroupNorm(nn.Module):
     degrade towards InstanceNorm — the reference relies on this (e.g. the
     ResNeXt per-split norms are all effectively per-channel).
 
-    On TPU the norm+activation runs as a fused two-kernel Pallas op
-    (``ops/pallas/groupnorm.py``) — one streaming stats pass + one fused
-    affine+activation pass.  XLA compiled the same math to ~144 GB/s
-    apparent bandwidth (5.8× off roofline) at head shapes; GN+ELU was
-    costing more than the convs around it.  The jnp path below is the
-    semantic reference and the CPU/fallback implementation.
+    A fused two-kernel Pallas implementation exists
+    (``ops/pallas/groupnorm.py``: one streaming stats pass + one fused
+    affine+activation pass) and wins 4-5× on *isolated* GN+ELU
+    microbenchmarks — but measured **in-model** it costs ~2× XLA's fused GN
+    (backbone 42→78 ms b32@640; XLA inserts layout transposes around each
+    pallas_call, and its own conv-epilogue fusions already amortize most of
+    the GN traffic).  It therefore stays opt-in (``use_pallas=True``); the
+    jnp path below is the default and the semantic reference.
     """
 
     groups: int = 32
     eps: float = 1e-5
     activation: Optional[str] = None
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -149,23 +151,13 @@ class Conv(nn.Module):
             "kernel", self.kernel_init,
             (*k, x.shape[-1] // self.feature_group_count, self.features),
             jnp.float32)
+        # Note: a 1×1-as-matmul formulation won isolated microbenchmarks
+        # (1.2-1.6× at bottleneck shapes) but LOST in-model (+5 ms b32@640
+        # forward) — the reshape forces relayouts XLA's conv path avoids.
+        # Measured, rejected; the conv lowering is the fast path here.
         if self.quantize:
             y = _int8_conv(x, kernel, s, self.padding,
                            self.feature_group_count, self.dtype)
-        elif k == (1, 1) and s == (1, 1) and self.feature_group_count == 1 \
-                and not (x.shape[1] * x.shape[2] >= 25600
-                         and self.features < x.shape[-1]):
-            # 1×1 stride-1 conv as a plain matmul: measured 1.2-1.6× over
-            # XLA's conv lowering at ResNet bottleneck shapes (v5e; the one
-            # exception — large-spatial channel *reductions* — is excluded
-            # by the gate above).
-            b, h, w, cin = x.shape
-            y = jax.lax.dot_general(
-                x.astype(self.dtype).reshape(b * h * w, cin),
-                kernel.astype(self.dtype).reshape(cin, self.features),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=self.dtype).reshape(
-                    b, h, w, self.features)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), s,

@@ -73,18 +73,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-def resize_normalize(image: np.ndarray, canvas_size: int, nh: int, nw: int,
+def resize_normalize(image: np.ndarray, canvas_size, nh: int, nw: int,
                      mean: np.ndarray, std: np.ndarray,
                      num_threads: int = 2) -> Optional[np.ndarray]:
-    """Fused resize(nh,nw)+normalize+pad to [canvas, canvas, 3] f32, or None
-    if the native library is unavailable."""
+    """Fused resize(nh,nw)+normalize+pad to an [H, W, 3] f32 canvas
+    (``canvas_size``: int for square or an (h, w) pair), or None if the
+    native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
+    if isinstance(canvas_size, (tuple, list)):
+        ch, cw = int(canvas_size[0]), int(canvas_size[1])
+    else:
+        ch = cw = int(canvas_size)
     image = np.ascontiguousarray(image, np.uint8)
-    out = np.empty((canvas_size, canvas_size, 3), np.float32)
+    out = np.empty((ch, cw, 3), np.float32)
     lib.rn_resize_normalize(
-        image, image.shape[0], image.shape[1], out, canvas_size, canvas_size,
+        image, image.shape[0], image.shape[1], out, ch, cw,
         nh, nw, np.ascontiguousarray(mean, np.float32),
         np.ascontiguousarray(std, np.float32), num_threads)
     return out

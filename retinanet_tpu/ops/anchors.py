@@ -17,6 +17,14 @@ import numpy as np
 from retinanet_tpu.config import AnchorConfig
 
 
+def image_hw(image_size) -> Tuple[int, int]:
+    """(h, w) of a canvas spec: an int (square) or an (h, w) pair."""
+    if isinstance(image_size, (tuple, list)):
+        h, w = image_size
+        return int(h), int(w)
+    return int(image_size), int(image_size)
+
+
 def compute_box_size(base_size: float, aspect_ratio: Tuple[float, float],
                      scale_ratio: float) -> np.ndarray:
     """(h, w) with h*w == base_size**2 * scale_ratio**2 and w/h == ar[1]/ar[0].
@@ -82,10 +90,19 @@ class Levels:
     def grid_size(self, level_name: str, image_size: int) -> int:
         return math.ceil(image_size / self.stride(level_name))
 
+    def grid_hw(self, level_name: str, image_size) -> Tuple[int, int]:
+        """(grid_h, grid_w) for a square or rectangular canvas."""
+        h, w = image_hw(image_size)
+        s = self.stride(level_name)
+        return math.ceil(h / s), math.ceil(w / s)
+
     def normalized_anchor_sizes(self, level_name: str,
-                                image_size: int) -> np.ndarray:
-        """[A, 2] anchor sizes divided by image size (image-relative units)."""
-        return (self[level_name].anchor_sizes / image_size).astype(np.float32)
+                                image_size) -> np.ndarray:
+        """[A, 2] anchor sizes divided by canvas size (canvas-relative
+        units).  Rectangular canvases normalize each dimension by its own
+        side, keeping every downstream coordinate in [0, 1]²."""
+        hw = np.asarray(image_hw(image_size), np.float64)
+        return (self[level_name].anchor_sizes / hw).astype(np.float32)
 
 
 def build_levels(config: AnchorConfig = AnchorConfig()) -> Levels:

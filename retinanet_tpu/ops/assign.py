@@ -22,7 +22,6 @@ Semantics preserved exactly (validated in ``tests/test_assign.py``):
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Tuple
 
 import jax
@@ -111,16 +110,17 @@ def build_labels(
     """Per-level labels for one image (reference ``dataset.py:126-142``).
 
     Returns ``(classifications, regressions, trainable_masks)`` dicts keyed by
-    P3..P7.  ``image_size`` is the static square side; grid size per level is
-    ``ceil(image_size / 2**k)``.
+    P3..P7.  ``image_size`` is the static canvas — an int (square) or an
+    (h, w) pair (bucketed rectangular canvases); grid per level is
+    ``ceil(side / 2**k)`` per dimension.
     """
     classifications, regressions, masks = {}, {}, {}
     for pn in levels:
-        stride = Levels.stride(pn)
-        g = math.ceil(image_size / stride)
+        gh, gw = levels.grid_hw(pn, image_size)
         anchor_sizes = jnp.asarray(levels.normalized_anchor_sizes(pn, image_size))
         c, r, m = level_labels(
-            boxes, class_ids, box_mask, anchor_sizes, g, g, num_classes, cfg)
+            boxes, class_ids, box_mask, anchor_sizes, gh, gw, num_classes,
+            cfg)
         classifications[pn], regressions[pn], masks[pn] = c, r, m
     return classifications, regressions, masks
 

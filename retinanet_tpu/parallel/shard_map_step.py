@@ -36,7 +36,6 @@ def make_shard_map_train_step(model: RetinaNet, levels: Levels,
     from retinanet_tpu.train import TrainState, build_optimizer
 
     axis = mesh.axis_names[0]
-    image_size = config.data.image_size
     num_classes = model.num_classes
     tx = build_optimizer(config.train)
 
@@ -44,8 +43,8 @@ def make_shard_map_train_step(model: RetinaNet, levels: Levels,
                    class_ids: Array, box_mask: Array,
                    rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
         cls_t, regr_t, masks = assign.build_labels_batch(
-            boxes, class_ids, box_mask, image_size, levels, num_classes,
-            config.assign)
+            boxes, class_ids, box_mask, images.shape[1:3], levels,
+            num_classes, config.assign)
         ct = flatten_levels(cls_t)
         rt = flatten_levels(regr_t)
         tm = flatten_levels(masks)

@@ -111,20 +111,26 @@ def _decoded_box_iou(regr_targets: Array, regr_logits: Array,
     return jnp.sum(iou * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def _flat_anchor_maps(levels: Levels, image_size: int) -> np.ndarray:
+def _flat_anchor_maps(levels: Levels, image_size) -> np.ndarray:
     """[N_total, 4] (cy, cx, h, w) of every anchor across all levels, in the
-    canonical flatten_levels order."""
+    canonical flatten_levels order.  ``image_size``: int or (h, w)."""
     maps = {}
     for pn in levels:
-        g = levels.grid_size(pn, image_size)
-        grid = np.asarray(box_ops.position_grid(g, g))[:, :, None, :]
+        gh, gw = levels.grid_hw(pn, image_size)
+        # Pure numpy (this may run inside a jit trace, where jnp-based
+        # helpers would produce tracers): cell centers at (i + 0.5) / n.
+        gy = (np.arange(gh, dtype=np.float32) + 0.5) / gh
+        gx = (np.arange(gw, dtype=np.float32) + 0.5) / gw
+        grid = np.stack(np.meshgrid(gy, gx, indexing="ij"),
+                        axis=-1)[:, :, None, :]
         sizes = levels.normalized_anchor_sizes(pn, image_size)
         a = sizes.shape[0]
-        pos = np.broadcast_to(grid, (g, g, a, 2))
-        size = np.broadcast_to(sizes[None, None], (g, g, a, 2))
+        pos = np.broadcast_to(grid, (gh, gw, a, 2))
+        size = np.broadcast_to(sizes[None, None], (gh, gw, a, 2))
         maps[pn] = np.concatenate([pos, size], -1).astype(np.float32)
-    return np.asarray(flatten_levels(
-        {k: jnp.asarray(v) for k, v in maps.items()}, batch_dims=0))
+    flat = np.concatenate([maps[pn].reshape(-1, 4) for pn in sorted(maps)],
+                          axis=0)
+    return flat
 
 
 def make_train_step(model: RetinaNet, levels: Levels, config: Config,
@@ -139,18 +145,20 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
     whose metrics are actually written.  Both return the same state; the
     metrics dict differs in keys only.
     """
-    image_size = config.data.image_size
     num_classes = model.num_classes
-    anchor_maps = jnp.asarray(_flat_anchor_maps(levels, image_size))
     tx = build_optimizer(config.train)
     schedule = build_schedule(config.train)
 
     def step_fn(state: TrainState, images: Array, boxes: Array,
                 class_ids: Array, box_mask: Array,
                 rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        # Canvas comes from the batch itself (static at trace time), so the
+        # same step function serves every bucket of a rectangular-bucket
+        # pipeline — jit compiles one program per canvas shape.
+        image_hw = images.shape[1:3]
         # On-device label assignment, fused into the step.
         cls_t, regr_t, masks = assign.build_labels_batch(
-            boxes, class_ids, box_mask, image_size, levels, num_classes,
+            boxes, class_ids, box_mask, image_hw, levels, num_classes,
             config.assign)
         ct = flatten_levels(cls_t)
         rt = flatten_levels(regr_t)
@@ -188,6 +196,7 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
         if with_metrics:
             probs = jax.nn.sigmoid(cl)
             fg_mask = jnp.logical_and(jnp.max(ct, axis=-1) > 0.5, tm)
+            anchor_maps = jnp.asarray(_flat_anchor_maps(levels, image_hw))
             metrics.update({
                 "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
                 # Classmap mean IoU at threshold .5 (reference build_metrics).
@@ -214,12 +223,11 @@ def make_classmap_fn(model: RetinaNet, levels: Levels, config: Config):
     """jit: (params, images, boxes, ids, mask) → per-level (GT, predicted)
     fg-anchor-count maps [B, H, W] for the classmap heat overlays
     (reference ``train.py:52-66``: thresholded classmap at prob 0.5)."""
-    image_size = config.data.image_size
 
     def fn(params, images, boxes, class_ids, box_mask):
         out = model.apply({"params": params}, images, training=False)
         cls_t, _, _ = assign.build_labels_batch(
-            boxes, class_ids, box_mask, image_size, levels,
+            boxes, class_ids, box_mask, images.shape[1:3], levels,
             model.num_classes, config.assign)
         pred = {pn: jnp.sum(jax.nn.sigmoid(c) > 0.5, axis=(-2, -1))
                 for pn, c in out["classifications"].items()}

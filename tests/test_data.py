@@ -189,3 +189,58 @@ def test_flip_assign_commutes():
                                    np.asarray(regr_b[k]), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(mask_a[k]),
                                       np.asarray(mask_b[k]))
+
+
+def test_process_sample_rect_canvas():
+    from retinanet_tpu.data.pipeline import process_sample
+    image = np.zeros((100, 50, 3), np.uint8)
+    sample = {"image": image,
+              "boxes": np.array([[10, 10, 60, 40]], np.float32),
+              "class_ids": np.array([1], np.int32)}
+    out = process_sample(sample, (64, 128), np.zeros(3, np.float32),
+                         np.ones(3, np.float32), max_boxes=10, flip=False)
+    assert out["image"].shape == (64, 128, 3)
+    # scale = min(64/100, 128/50) = 0.64 → resized 64×32.
+    np.testing.assert_allclose(out["scale"], 0.64, atol=1e-6)
+    # Boxes normalized per-dim: t=10*0.64/64=0.1, l=10*0.64/128=0.05,
+    # b=60*0.64/64=0.6, r=40*0.64/128=0.2.
+    np.testing.assert_allclose(out["boxes"][0], [0.1, 0.05, 0.6, 0.2],
+                               atol=1e-2)
+
+
+def test_pick_bucket():
+    from retinanet_tpu.data.pipeline import pick_bucket
+    buckets = ((64, 64), (64, 32), (32, 64))
+    assert pick_bucket(100, 50, buckets) == (64, 32)   # tall image
+    assert pick_bucket(50, 100, buckets) == (32, 64)   # wide image
+    assert pick_bucket(80, 80, buckets) == (64, 64)    # square image
+
+
+def test_pipeline_buckets_homogeneous_batches():
+    # Mix of tall and wide images → batches grouped per bucket shape.
+    class MixedLoader:
+        class_names = ["a"]
+        num_classes = 1
+
+        def __len__(self):
+            return 8
+
+        def __iter__(self):
+            rng = np.random.RandomState(0)
+            for i in range(8):
+                h, w = (80, 40) if i % 2 == 0 else (40, 80)
+                yield {
+                    "image": rng.randint(0, 255, (h, w, 3)).astype(np.uint8),
+                    "boxes": np.array([[5, 5, 20, 20]], np.float32),
+                    "class_ids": np.array([0], np.int32),
+                }
+
+    cfg = _cfg(batch_size=2, shuffle_buffer=1,
+               buckets=((64, 64), (64, 32), (32, 64)))
+    batches = list(Pipeline(MixedLoader(), cfg, max_boxes=4,
+                            training=False).epoch(0))
+    assert len(batches) == 4
+    shapes = sorted({b.images.shape[1:3] for b in batches})
+    assert shapes == [(32, 64), (64, 32)]
+    for b in batches:  # batches are homogeneous
+        assert b.images.shape[0] == 2

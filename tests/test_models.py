@@ -168,22 +168,3 @@ def test_int8_quantized_matches_float_closely():
         # per-layer property (quantization error compounds through depth).
         assert np.abs(a - b).max() < 1.0, k
         assert np.isfinite(b).all()
-
-
-def test_conv_1x1_dot_path_matches_conv():
-    """The 1×1-as-matmul fast path must be numerically identical to the
-    conv lowering (same kernel, same params)."""
-    from retinanet_tpu.models.layers import Conv
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(2, 8, 8, 32), F32)
-    conv = Conv(features=16, kernel_size=1, dtype=F32)
-    params = conv.init(jax.random.PRNGKey(0), x)
-    y_dot = conv.apply(params, x)  # small spatial -> dot path
-    # Reference: raw lax conv with the same kernel.
-    kernel = params["params"]["kernel"]
-    y_conv = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv),
-                               atol=1e-5, rtol=1e-5)

@@ -275,3 +275,58 @@ def test_trainer_end_to_end_with_checkpoint(tmp_path):
     trainer2 = Trainer(cfg, loader=loader)
     state2 = trainer2.fit(epochs=1, steps_per_epoch=2)
     assert int(state2.step) == 4
+
+
+def test_train_step_rect_canvas(tmp_path):
+    """One train step on a rectangular (64x32) bucket batch: same step
+    function, one compiled program per canvas shape."""
+    cfg = _tiny_config(tmp_path)
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(model, levels, cfg,
+                                      with_metrics=True))
+    np_rng = np.random.RandomState(0)
+    images = np_rng.randn(2, 64, 32, 3).astype(np.float32)
+    boxes = np.zeros((2, 8, 4), np.float32)
+    boxes[:, 0] = [0.2, 0.2, 0.7, 0.7]
+    ids = np.zeros((2, 8), np.int32)
+    mask = np.zeros((2, 8), bool)
+    mask[:, 0] = True
+    state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(boxes),
+                             jnp.asarray(ids), jnp.asarray(mask),
+                             jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["regr_iou"]) >= 0.0
+
+    # Structural check: per-level label grids follow the rectangular canvas
+    # (ceil(h/2^k), ceil(w/2^k)) per dimension.
+    from retinanet_tpu.ops import assign
+    cls_t, _, _ = assign.build_labels(
+        jnp.asarray(boxes[0]), jnp.asarray(ids[0]), jnp.asarray(mask[0]),
+        (64, 32), levels, 3)
+    assert cls_t["P3"].shape[:2] == (8, 4)
+    assert cls_t["P5"].shape[:2] == (2, 1)
+    assert cls_t["P7"].shape[:2] == (1, 1)
+
+
+def test_inference_rect_canvas(tmp_path):
+    """Decode path on a rectangular canvas: boxes stay in [0,1]^2 with
+    per-dimension normalization."""
+    from retinanet_tpu.infer import make_inference_fn
+    import dataclasses
+    cfg = _tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, nms=dataclasses.replace(cfg.nms, use_pallas=False,
+                                     top_k_per_level=20, pre_nms_top_k=40,
+                                     max_output_size=10,
+                                     score_threshold=0.0))
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        training=False)["params"]
+    fn = make_inference_fn(model, levels, cfg, use_pallas=False)
+    out = fn(params, jnp.zeros((2, 64, 32, 3)))
+    assert out.boxes.shape == (2, 10, 4)
+    b = np.asarray(out.boxes)
+    assert np.isfinite(b).all()
