@@ -123,6 +123,147 @@ def fused_head_bench():
     print(f"wide 256->512:         {t_wide*1e3:.2f} ms ({flops/t_wide/1e12:.1f} TF/s)")
 
 
+def decode_bench():
+    """Cost split of decode vs NMS on synthetic head outputs b32@640/80c."""
+    sys.path.insert(0, ".")
+    from retinanet_tpu.config import Config
+    from retinanet_tpu.ops.anchors import build_levels
+    from retinanet_tpu.ops.nms import decode_levels, nms_padded
+
+    config = Config()
+    levels = build_levels(config.anchors)
+    B, size, C, A = 32, 640, 80, 9
+    rng = np.random.RandomState(0)
+    cls, regr = {}, {}
+    for pn in levels:
+        g = levels.grid_size(pn, size)
+        cls[pn] = jnp.asarray(
+            rng.randn(B, g, g, A, C) * 2 - 4, jnp.float32)
+        regr[pn] = jnp.asarray(rng.randn(B, g, g, A, 4) * 0.1, jnp.float32)
+
+    @jax.jit
+    def decode_only(cls, regr):
+        return decode_levels(cls, regr, levels, size, config.nms)
+
+    t = timeit(decode_only, cls, regr, iters=10)
+    print(f"decode (5-level top-k): {t*1e3:.2f} ms")
+
+    decoded = decode_only(cls, regr)
+
+    @jax.jit
+    def nms_only(decoded):
+        return nms_padded(decoded, iou_threshold=0.5, max_output_size=1000,
+                          classwise=True, use_pallas=True,
+                          pre_nms_top_k=1000)
+
+    t = timeit(nms_only, decoded, iters=10)
+    print(f"nms (pallas, 1000 cand): {t*1e3:.2f} ms")
+
+    @jax.jit
+    def both(cls, regr):
+        return nms_only(decode_only(cls, regr))
+
+    t = timeit(both, cls, regr, iters=10)
+    print(f"decode+nms: {t*1e3:.2f} ms")
+
+    # top_k alone at the P3 size (the dominant level)
+    flat = jnp.asarray(rng.randn(B, 80 * 80 * A), jnp.float32)
+
+    @jax.jit
+    def exact(x):
+        return jax.lax.top_k(x, 1000)
+
+    @jax.jit
+    def approx(x):
+        return jax.lax.approx_max_k(x, 1000, recall_target=0.95)
+
+    print(f"top_k exact P3: {timeit(exact, flat)*1e3:.2f} ms | "
+          f"approx: {timeit(approx, flat)*1e3:.2f} ms")
+
+
+def pallas_conv_bench():
+    """Prototype: 3x3 SAME conv as 9 shifted dots in Pallas vs XLA conv.
+
+    Decision gate for a fused head-trunk kernel: if this can't beat XLA's
+    ~95 TF/s standalone, the mega-kernel isn't worth building.
+    """
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = 32, 80, 80, 256
+    HW = H * W
+
+    def kernel(x_hbm, w_ref, out_hbm, x_v, acc, tmp, sem):
+        # x_v [HW, C] bf16; acc [HW, C] f32; w_ref [9, C, C] bf16 (VMEM)
+        b = pl.program_id(0)
+        cp = pltpu.make_async_copy(x_hbm.at[b], x_v, sem)
+        cp.start()
+        cp.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+        y_idx = row // W
+        x_idx = row % W
+        acc[...] = jnp.zeros((HW, C), jnp.float32)
+        for t in range(9):
+            dy, dx = t // 3 - 1, t % 3 - 1
+            shift = dy * W + dx
+            rolled = pltpu.roll(x_v[...], -shift, 0) if shift else x_v[...]
+            valid = ((y_idx + dy >= 0) & (y_idx + dy < H)
+                     & (x_idx + dx >= 0) & (x_idx + dx < W))
+            shifted = jnp.where(valid, rolled, jnp.bfloat16(0))
+            acc[...] += jnp.dot(shifted, w_ref[t],
+                                preferred_element_type=jnp.float32)
+        tmp[...] = acc[...].astype(jnp.bfloat16)
+        cp = pltpu.make_async_copy(tmp, out_hbm.at[b], sem)
+        cp.start()
+        cp.wait()
+
+    @jax.jit
+    def pconv(x, w):
+        # x [B, HW, C]; w [9, C, C]
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, HW, C), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((HW, C), jnp.bfloat16),
+                pltpu.VMEM((HW, C), jnp.float32),
+                pltpu.VMEM((HW, C), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, w)
+
+    rng = np.random.RandomState(0)
+    x4 = jnp.asarray(rng.randn(B, H, W, C) * 0.5, jnp.bfloat16)
+    wk = jnp.asarray(rng.randn(3, 3, C, C) * 0.05, jnp.bfloat16)
+
+    @jax.jit
+    def xla_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16)
+
+    t_xla = timeit(xla_conv, x4, wk, iters=10)
+    flops = 2 * B * HW * 9 * C * C
+    print(f"XLA conv:    {t_xla*1e3:.2f} ms ({flops/t_xla/1e12:.1f} TF/s)")
+
+    x_flat = x4.reshape(B, HW, C)
+    w_flat = wk.reshape(9, C, C)
+    y_p = pconv(x_flat, w_flat)
+    y_x = xla_conv(x4, wk).reshape(B, HW, C)
+    err = float(jnp.max(jnp.abs(y_p.astype(jnp.float32)
+                                - y_x.astype(jnp.float32))))
+    print(f"max abs err vs XLA: {err:.4f}")
+    t_p = timeit(pconv, x_flat, w_flat, iters=10)
+    print(f"pallas conv: {t_p*1e3:.2f} ms ({flops/t_p/1e12:.1f} TF/s)")
+
+
 def resnext_bench():
     """Cardinality-32 grouped 3×3 conv vs block-diagonal dense conv."""
     B = 16
@@ -317,6 +458,10 @@ if __name__ == "__main__":
         dot1x1_bench()
     elif part == "resnext":
         resnext_bench()
+    elif part == "decode":
+        decode_bench()
+    elif part == "pconv":
+        pallas_conv_bench()
     elif part == "gn":
         gn_bench()
     else:

@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 from jax import Array
 
@@ -136,6 +137,13 @@ class Conv(nn.Module):
     padding: str = "SAME"
     use_bias: bool = False
     feature_group_count: int = 1
+    # Run a grouped conv as a DENSE conv with block-diagonal weights
+    # (zeros off-block): mathematically identical (zero weights contribute
+    # zero, and their gradients are masked back to zero), but measured
+    # 1.6-2.6× faster than XLA's grouped-conv lowering on v5e for
+    # cardinality-32 convs up to 512 channels — despite doing 32× the MACs.
+    # The reference's ResNeXt (`resnet.py:88-95`) is the consumer.
+    grouped_as_dense: bool = False
     kernel_init: Callable = he_normal
     bias_init: Callable = nn.initializers.zeros
     quantize: bool = False
@@ -151,18 +159,26 @@ class Conv(nn.Module):
             "kernel", self.kernel_init,
             (*k, x.shape[-1] // self.feature_group_count, self.features),
             jnp.float32)
+        groups = self.feature_group_count
+        if self.grouped_as_dense and groups > 1 \
+                and x.shape[-1] == self.features:
+            cin, cg = x.shape[-1], kernel.shape[2]
+            # dense[:, :, i, o] = kernel[:, :, i % cg, o] iff i//cg == o//cg.
+            mask = (np.arange(cin)[:, None] // cg
+                    == np.arange(self.features)[None, :] // cg)
+            kernel = jnp.tile(kernel, (1, 1, groups, 1)) * mask
+            groups = 1
         # Note: a 1×1-as-matmul formulation won isolated microbenchmarks
         # (1.2-1.6× at bottleneck shapes) but LOST in-model (+5 ms b32@640
         # forward) — the reshape forces relayouts XLA's conv path avoids.
         # Measured, rejected; the conv lowering is the fast path here.
         if self.quantize:
-            y = _int8_conv(x, kernel, s, self.padding,
-                           self.feature_group_count, self.dtype)
+            y = _int8_conv(x, kernel, s, self.padding, groups, self.dtype)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), s,
                 self.padding,
-                feature_group_count=self.feature_group_count,
+                feature_group_count=groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=self.dtype)
         if self.use_bias:

@@ -68,8 +68,11 @@ class ResNeXtBottleneck(nn.Module):
         # Grouped 3×3: one conv replaces the reference's 32-conv Python loop;
         # gn_groups=width reproduces the per-split per-channel norms.
         strides = 2 if self.project == "down" else 1
+        # Block-diagonal dense beats XLA's grouped lowering 1.6-2.6× on v5e
+        # up to 512 channels (measured; at 1024 grouped wins back).
         x = Conv(width, kernel_size=3, strides=strides,
                  feature_group_count=self.cardinality,
+                 grouped_as_dense=width <= 512,
                  quantize=self.quantize, dtype=self.dtype)(x)
         x = GroupNorm(groups=width, activation="relu",
                       dtype=self.dtype)(x)

@@ -168,3 +168,32 @@ def test_int8_quantized_matches_float_closely():
         # per-layer property (quantization error compounds through depth).
         assert np.abs(a - b).max() < 1.0, k
         assert np.isfinite(b).all()
+
+
+def test_grouped_as_dense_matches_grouped():
+    """Block-diagonal dense conv == grouped conv exactly (same params)."""
+    from retinanet_tpu.models.layers import Conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64), F32)
+    grouped = Conv(features=64, kernel_size=3, feature_group_count=8,
+                   dtype=F32)
+    dense = Conv(features=64, kernel_size=3, feature_group_count=8,
+                 grouped_as_dense=True, dtype=F32)
+    params = grouped.init(jax.random.PRNGKey(0), x)
+    y_g = grouped.apply(params, x)
+    y_d = dense.apply(params, x)  # identical param tree
+    np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_g),
+                               atol=1e-5, rtol=1e-5)
+
+    # Gradients agree too (off-block weight grads are masked to zero in the
+    # dense path, matching the grouped parameterization).
+    def loss(m):
+        def f(p):
+            return jnp.sum(jnp.square(m.apply(p, x)))
+        return jax.grad(f)(params)
+    g_g = jax.tree_util.tree_leaves(loss(grouped))
+    g_d = jax.tree_util.tree_leaves(loss(dense))
+    for a, b in zip(g_g, g_d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)
