@@ -207,7 +207,8 @@ def pallas_conv_bench():
         for t in range(9):
             dy, dx = t // 3 - 1, t % 3 - 1
             shift = dy * W + dx
-            rolled = pltpu.roll(x_v[...], -shift, 0) if shift else x_v[...]
+            rolled = pltpu.roll(x_v[...], (-shift) % HW, 0) \
+                if shift else x_v[...]
             valid = ((y_idx + dy >= 0) & (y_idx + dy < H)
                      & (x_idx + dx >= 0) & (x_idx + dx < W))
             shifted = jnp.where(valid, rolled, jnp.bfloat16(0))

@@ -306,7 +306,12 @@ class Trainer:
         self.pipeline = build_pipeline(
             pipeline_loader, local_data, max_boxes=config.assign.max_boxes,
             training=True, seed=config.train.seed + jax.process_index())
-        self.writer = MetricsWriter(config.train.experiment)
+        # Multi-process: every process participates in (Orbax) checkpoint
+        # save/restore against the SHARED experiment directory, but only the
+        # lead process writes metrics/images and prunes old checkpoints.
+        self.is_lead = jax.process_index() == 0
+        self.writer = (MetricsWriter(config.train.experiment)
+                       if self.is_lead else None)
         self._checkpointer = None
         self._infer_fn = None
 
@@ -331,8 +336,9 @@ class Trainer:
         directories, so an in-flight async save (always the newest) is never
         deleted.
         """
-        self._prune_checkpoints(keep=max(1, self.config.train.keep_checkpoints
-                                         ) - 1)
+        if self.is_lead:
+            self._prune_checkpoints(
+                keep=max(1, self.config.train.keep_checkpoints) - 1)
         step = int(state.step)
         path = os.path.join(self.checkpoint_dir, f"step_{step}")
         self._ckpt().save(path, {"step": state.step, "params": state.params,
@@ -515,7 +521,7 @@ class Trainer:
                 state, metrics = jitted(state, *device_batch, step_rng)
                 py_step = step
 
-                if will_log:
+                if will_log and self.is_lead:
                     metrics = jax.device_get(metrics)
                     now = time.time()
                     metrics["images_per_sec"] = (
@@ -530,8 +536,10 @@ class Trainer:
                         float(metrics["regr_loss"]),
                         float(metrics["regularization_loss"]))
                 if step % cfg.train.checkpoint_every == 0:
+                    # Every process participates in the (multihost-
+                    # coordinated) save; summaries are lead-only.
                     self.save_checkpoint(state)
-                    if cfg.train.image_summaries:
+                    if cfg.train.image_summaries and self.is_lead:
                         self.write_image_summaries(state, batch)
         self.save_checkpoint(state)
         self.wait_for_checkpoints()
