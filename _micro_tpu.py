@@ -207,7 +207,9 @@ def pallas_conv_bench():
         for t in range(9):
             dy, dx = t // 3 - 1, t % 3 - 1
             shift = dy * W + dx
-            rolled = pltpu.roll(x_v[...], (-shift) % HW, 0) \
+            # Mosaic has no 16-bit rotate; static slice+concat rolls instead
+            # (same expression handles both signs: np.roll(x, -shift)).
+            rolled = jnp.concatenate([x_v[shift:], x_v[:shift]], axis=0) \
                 if shift else x_v[...]
             valid = ((y_idx + dy >= 0) & (y_idx + dy < H)
                      & (x_idx + dx >= 0) & (x_idx + dx < W))

@@ -37,7 +37,9 @@ def main(argv=None):
                                           backbone=args.backbone,
                                           quantize=args.quantize))
     on_tpu = jax.default_backend() == "tpu"
-    batch_size = 64 if on_tpu else 2
+    # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
+    # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.
+    batch_size = 128 if on_tpu else 2
     steps = 20 if on_tpu else 2
     result = benchmark(config, batch_size=batch_size, steps=steps,
                        warmup=3 if on_tpu else 1, num_classes=80)
