@@ -239,6 +239,13 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--log-every", type=int, default=50)
+    parser.add_argument(
+        "--buckets", type=str, nargs="+", default=None, metavar="HxW",
+        help="rectangular canvas buckets, e.g. --buckets 640x640 640x448 "
+             "448x640; each image goes to the least-padding bucket and "
+             "batches are bucket-homogeneous (one compiled program per "
+             "bucket)")
     parser.add_argument(
         "--class-loss", type=str, nargs="+", default=None,
         choices=["bce", "focal", "dice", "jaccard", "fixed_iou",
@@ -265,8 +272,15 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("train.steps_per_epoch", args.steps_per_epoch),
         ("train.seed", args.seed),
         ("train.schedule", args.schedule),
+        ("train.log_every", args.log_every),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.class_loss is not None:
         cfg = _apply_dotted(cfg, "loss.class_losses", tuple(args.class_loss))
+    if args.buckets is not None:
+        buckets = []
+        for spec in args.buckets:
+            h, w = spec.lower().split("x")
+            buckets.append((int(h), int(w)))
+        cfg = _apply_dotted(cfg, "data.buckets", tuple(buckets))
     return cfg

@@ -93,3 +93,68 @@ def test_pascal_loader(pascal_fixture):
     assert s["class_ids"][0] == dl.class_names.index("dog")
     assert s["class_ids"][1] == dl.class_names.index("person")
     assert len(dl) == 1
+
+
+def test_coco_end_to_end_train_and_eval(tmp_path):
+    """Full loop through the COCO-format path: real JPEG files on disk →
+    loader → pipeline → 2 train steps → streaming evaluation.  (The shapes
+    dataset covers the in-memory path; this covers file decode + COCO
+    bookkeeping end-to-end.)"""
+    import dataclasses
+
+    import jax
+
+    from retinanet_tpu.config import (AssignConfig, Config, DataConfig,
+                                      ModelConfig, NMSConfig, TrainConfig)
+    from retinanet_tpu.eval_coco import evaluate_model
+    from retinanet_tpu.infer import Detector
+    from retinanet_tpu.train import Trainer, create_train_state
+
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 needed to write JPEG fixtures")
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in range(4):
+        name = f"im{i}.jpg"
+        arr = rng.randint(0, 255, (64, 48, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / name), arr)
+        images.append({"id": i + 1, "file_name": name,
+                       "width": 48, "height": 64})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [8, 8, 24, 32], "iscrowd": 0})
+    ann_path = tmp_path / "instances.json"
+    ann_path.write_text(json.dumps({
+        "images": images,
+        "categories": [{"id": 1, "name": "thing"}],
+        "annotations": anns,
+    }))
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=1,
+                          dropout_rate=0.0, compute_dtype="float32"),
+        data=DataConfig(dataset=("coco", str(ann_path), str(img_dir)),
+                        image_size=64, batch_size=2, shuffle_buffer=1,
+                        num_workers=2),
+        assign=AssignConfig(max_boxes=4),
+        nms=NMSConfig(use_pallas=False, top_k_per_level=20,
+                      pre_nms_top_k=40, max_output_size=10,
+                      score_threshold=0.05),
+        train=TrainConfig(experiment=str(tmp_path / "exp"), epochs=1,
+                          steps_per_epoch=2, checkpoint_every=1000,
+                          log_every=1, learning_rate=1e-3),
+    )
+    trainer = Trainer(cfg)
+    assert trainer.loader.class_names == ["thing"]
+    state = trainer.fit()
+    assert int(state.step) == 2
+
+    det = Detector(cfg, jax.device_get(state.params), ["thing"],
+                   use_pallas=False)
+    metrics = evaluate_model(det, trainer.loader, cfg)
+    assert np.isfinite(metrics["mAP"]) or metrics["mAP"] == 0.0
+    assert "AR@100" in metrics
