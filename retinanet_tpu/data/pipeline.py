@@ -106,11 +106,15 @@ def pick_bucket(ih: int, iw: int, buckets) -> Tuple[int, int]:
 def process_sample(sample: Dict, image_size, mean: np.ndarray,
                    std: np.ndarray, max_boxes: int, flip: bool,
                    photometric: Optional[Tuple[float, float, float]] = None,
-                   use_native: bool = True) -> Dict[str, np.ndarray]:
+                   use_native: bool = True,
+                   normalize_on_host: bool = True) -> Dict[str, np.ndarray]:
     """Decode/resize/pad/normalize one sample to static shapes.
 
     ``image_size``: int (square canvas) or (h, w) (rectangular bucket).
     Boxes are normalized per-dimension to canvas-relative [0, 1]².
+
+    ``normalize_on_host=False`` returns the canvas as raw uint8 (resize+pad
+    only) for on-device normalization — 4× less host→device transfer.
 
     When the native host library is available, resize + [0,1] scaling +
     mean/std normalization + padding run as one fused multithreaded C++ pass
@@ -138,7 +142,11 @@ def process_sample(sample: Dict, image_size, mean: np.ndarray,
         boxes = np.concatenate([t, nw - r, b, nw - l], axis=-1)
 
     canvas = None
-    if use_native and image.dtype == np.uint8:
+    if not normalize_on_host:
+        resized = _resize(image.astype(np.uint8, copy=False), nh, nw)
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:nh, :nw] = resized
+    if canvas is None and use_native and image.dtype == np.uint8:
         from retinanet_tpu import native
         canvas = native.resize_normalize(image, (ch, cw), nh, nw,
                                          mean, std)
@@ -224,9 +232,11 @@ class Pipeline:
                     sample = {**sample, "image": image}
                 canvas = pick_bucket(image.shape[0], image.shape[1],
                                      cfg.buckets)
-            out = process_sample(sample, canvas, self._mean,
-                                 self._std, self.max_boxes, flip,
-                                 photometric=photometric)
+            out = process_sample(
+                sample, canvas, self._mean, self._std, self.max_boxes,
+                flip, photometric=photometric,
+                normalize_on_host=not (self.training
+                                       and cfg.transfer_uint8))
             out["image_id"] = np.int64(index)
             out["canvas"] = canvas
             return out

@@ -36,6 +36,8 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
         use_pallas = nms_cfg.use_pallas and jax.default_backend() == "tpu"
 
     def infer(params, images: Array) -> BoxesDecoded:
+        from retinanet_tpu.ops.preprocess import maybe_normalize
+        images = maybe_normalize(images, config.data)
         out = model.apply({"params": params}, images, training=False)
         # Canvas dims from the batch itself: rectangular-bucket batches
         # decode correctly through the same jitted fn (one program/shape).

@@ -42,6 +42,8 @@ def make_shard_map_train_step(model: RetinaNet, levels: Levels,
     def local_step(state: TrainState, images: Array, boxes: Array,
                    class_ids: Array, box_mask: Array,
                    rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        from retinanet_tpu.ops.preprocess import maybe_normalize
+        images = maybe_normalize(images, config.data)
         cls_t, regr_t, masks = assign.build_labels_batch(
             boxes, class_ids, box_mask, images.shape[1:3], levels,
             num_classes, config.assign)

@@ -156,6 +156,8 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
         # same step function serves every bucket of a rectangular-bucket
         # pipeline — jit compiles one program per canvas shape.
         image_hw = images.shape[1:3]
+        from retinanet_tpu.ops.preprocess import maybe_normalize
+        images = maybe_normalize(images, config.data)
         # On-device label assignment, fused into the step.
         cls_t, regr_t, masks = assign.build_labels_batch(
             boxes, class_ids, box_mask, image_hw, levels, num_classes,
@@ -225,6 +227,8 @@ def make_classmap_fn(model: RetinaNet, levels: Levels, config: Config):
     (reference ``train.py:52-66``: thresholded classmap at prob 0.5)."""
 
     def fn(params, images, boxes, class_ids, box_mask):
+        from retinanet_tpu.ops.preprocess import maybe_normalize
+        images = maybe_normalize(images, config.data)
         out = model.apply({"params": params}, images, training=False)
         cls_t, _, _ = assign.build_labels_batch(
             boxes, class_ids, box_mask, images.shape[1:3], levels,
@@ -433,7 +437,10 @@ class Trainer:
         names = self.loader.class_names
         from retinanet_tpu.utils.draw import draw_classmap
         for i in range(n_draw):
-            img = np.clip(batch.images[i] * std + mean, 0, 1)
+            if batch.images.dtype == np.uint8:  # device-normalized batches
+                img = batch.images[i].astype(np.float32) / 255.0
+            else:
+                img = np.clip(batch.images[i] * std + mean, 0, 1)
             gt_valid = batch.box_mask[i]
             gt = draw_bounding_boxes(img, batch.boxes[i][gt_valid],
                                      batch.class_ids[i][gt_valid], names)

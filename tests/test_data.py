@@ -244,3 +244,21 @@ def test_pipeline_buckets_homogeneous_batches():
     assert shapes == [(32, 64), (64, 32)]
     for b in batches:  # batches are homogeneous
         assert b.images.shape[0] == 2
+
+
+def test_training_pipeline_uint8_transfer():
+    """Training batches ship as uint8 (transfer_uint8 default); eval-mode
+    pipelines stay normalized float."""
+    dl = Shapes(None, 4, (64, 64))
+    train_b = next(iter(Pipeline(dl, _cfg(shuffle_buffer=1), max_boxes=8,
+                                 training=True).epoch(0)))
+    assert train_b.images.dtype == np.uint8
+    eval_b = next(iter(Pipeline(dl, _cfg(shuffle_buffer=1), max_boxes=8,
+                                training=False).epoch(0)))
+    assert eval_b.images.dtype == np.float32
+    # Same pixels, two encodings: normalizing the uint8 batch must
+    # reproduce the float batch (resize runs on uint8 in both paths).
+    mean = np.asarray(_cfg().mean, np.float32)
+    std = np.asarray(_cfg().std, np.float32)
+    renorm = (train_b.images.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(renorm, eval_b.images, atol=2e-2)

@@ -330,3 +330,32 @@ def test_inference_rect_canvas(tmp_path):
     assert out.boxes.shape == (2, 10, 4)
     b = np.asarray(out.boxes)
     assert np.isfinite(b).all()
+
+
+def test_uint8_batch_matches_float_batch(tmp_path):
+    """On-device normalization of a uint8 batch gives the same step result
+    as the pre-normalized float batch."""
+    cfg = _tiny_config(tmp_path)
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    step = jax.jit(make_train_step(model, levels, cfg, with_metrics=False))
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    mean = np.asarray(cfg.data.mean, np.float32)
+    std = np.asarray(cfg.data.std, np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+    boxes = np.zeros((2, 8, 4), np.float32)
+    boxes[:, 0] = [0.2, 0.2, 0.7, 0.7]
+    ids = np.zeros((2, 8), np.int32)
+    mask = np.zeros((2, 8), bool)
+    mask[:, 0] = True
+    args = (jnp.asarray(boxes), jnp.asarray(ids), jnp.asarray(mask),
+            jax.random.PRNGKey(1))
+
+    s0 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s1 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    _, m_u8 = step(s0, jnp.asarray(u8), *args)
+    _, m_f32 = step(s1, jnp.asarray(f32), *args)
+    np.testing.assert_allclose(float(m_u8["total_loss"]),
+                               float(m_f32["total_loss"]), rtol=1e-5)
