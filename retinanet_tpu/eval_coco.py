@@ -187,20 +187,26 @@ class COCOEvaluator:
             # Pre-truncate to the largest maxDets once (score-sorted).
             order = np.argsort(-ds, kind="stable")
             db, ds = db[order], ds[order]
+            top_md = self.max_dets[-1]
             for area_name, (lo, hi) in self.area_ranges.items():
                 gt_ig = (ga < lo) | (ga > hi)
                 key = (c, area_name)
                 self._num_gt[key] = self._num_gt.get(key, 0) + int(
                     np.sum(~gt_ig))
-                for md in self.max_dets:
-                    dbm, dsm = db[:md], ds[:md]
-                    for t, thr in enumerate(self.iou_thresholds):
-                        scores, tp, dig = _match_image(
-                            dbm, dsm, gb, float(thr), gt_ig, (lo, hi))
+                for t, thr in enumerate(self.iou_thresholds):
+                    # Match once at the largest maxDets and prefix-slice for
+                    # the smaller ones — equivalent because greedy matching
+                    # in score order never lets a later det affect an
+                    # earlier det's match (exactly COCOeval's accumulate
+                    # slicing of dtMatches[:, :maxDet]).
+                    scores, tp, dig = _match_image(
+                        db[:top_md], ds[:top_md], gb, float(thr), gt_ig,
+                        (lo, hi))
+                    for md in self.max_dets:
                         pool = self._pool((c, t, area_name, md))
-                        pool[0].append(scores)
-                        pool[1].append(tp)
-                        pool[2].append(dig)
+                        pool[0].append(scores[:md])
+                        pool[1].append(tp[:md])
+                        pool[2].append(dig[:md])
 
     def _ap_matrix(self, area_name: str, max_det: int):
         """(AP, AR) arrays [num_classes, num_thresholds] (nan = no GT)."""
