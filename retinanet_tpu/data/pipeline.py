@@ -5,9 +5,14 @@ fixed (image, flipped-image) pair as its "batch" (``dataset.py:145-233``).
 TPU + XLA want **static shapes** and real batches, so this pipeline:
 
   * decodes + resizes on host (cv2/PIL, thread pool — cv2 releases the GIL)
-  * resizes the *longer* side to ``image_size`` and pads to a static square
-    (the reference's shorter-side scaling gives dynamic shapes; padding
-    regions carry no boxes and the assignment/losses are box-driven)
+  * resizes the *longer* side to fit a static canvas and pads — a square of
+    ``image_size``, or the least-padding rectangular bucket when
+    ``buckets`` is configured (batches are bucket-homogeneous; one compiled
+    program per bucket).  The reference's shorter-side scaling gives
+    dynamic shapes; padding regions carry no boxes and the
+    assignment/losses are box-driven
+  * ships training batches as raw uint8 (normalization happens on-device —
+    4× less host→device transfer); eval batches stay normalized float
   * normalizes boxes to padded-canvas-relative [0, 1]
   * applies random horizontal flip on the host sample (image + boxes) —
     label maps are built *after* augmentation, on device, so there is no

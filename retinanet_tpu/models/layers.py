@@ -6,9 +6,10 @@ per-channel γ/β, moments over (H, W, C/G).  Everything is NHWC.
 
 TPU notes: convolutions lower to ``lax.conv_general_dilated`` which XLA tiles
 onto the MXU; compute runs in bfloat16 with fp32 parameters and fp32 GN
-statistics (the reduction is precision-sensitive).  ResNeXt cardinality and
-depthwise convs use ``feature_group_count`` — one fused conv instead of the
-reference's Python loop of 32 small convs (``resnet.py:88-95``).
+statistics (the reduction is precision-sensitive).  The reference's Python
+loop of 32 small ResNeXt convs (``resnet.py:88-95``) becomes one conv —
+grouped, or block-diagonal dense where that is faster (``Conv.
+grouped_as_dense``); depthwise convs use ``feature_group_count``.
 """
 
 from __future__ import annotations
