@@ -47,7 +47,8 @@ except ImportError:  # pragma: no cover
 class Batch(NamedTuple):
     """One static-shape training batch (all host numpy, ready to device_put)."""
 
-    images: np.ndarray      # [B, S, S, 3] float32, mean/std normalized
+    images: np.ndarray      # [B, H, W, 3]: uint8 raw (training, on-device
+                            # normalize) or float32 mean/std normalized (eval)
     boxes: np.ndarray       # [B, M, 4] float32 (t,l,b,r) canvas-relative
     class_ids: np.ndarray   # [B, M] int32
     box_mask: np.ndarray    # [B, M] bool
