@@ -178,6 +178,14 @@ class NMSConfig:
     # above the 0.5 threshold.  Bounds the suppression loop's sequential work.
     pre_nms_top_k: int = 1000
     use_pallas: bool = True
+    # TPU-native approximate top-k (jax.lax.approx_max_k) for the per-level
+    # candidate selection: the TPU's partial-reduce sort unit is ~1.2×
+    # faster than exact top_k on the big P3 map.  Only affects WHICH ~1000
+    # candidates per level survive (recall_target fraction of the true
+    # top-k is guaranteed); final NMS ordering stays exact, so detections
+    # near the very bottom of the candidate list are the only deviation.
+    use_approx_top_k: bool = False
+    approx_top_k_recall: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)

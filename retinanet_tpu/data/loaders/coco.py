@@ -19,10 +19,20 @@ from retinanet_tpu.data.loaders.base import Base
 
 
 class COCO(Base):
-    def __init__(self, ann_path: str, dataset_path: str):
+    """``include_crowds=False`` (default) mirrors the reference's training
+    behaviour (crowds dropped, ``getAnnIds(iscrowd=False)`` coco.py:33).
+    ``include_crowds=True`` is the *evaluation* mode: crowd annotations are
+    kept and every sample carries ``iscrowd`` and ``areas`` arrays so the
+    COCO eval protocol can treat crowds as ignore regions and use the
+    annotation's segmentation ``area`` (what COCOeval's area-range ignores
+    actually read) instead of the bbox area."""
+
+    def __init__(self, ann_path: str, dataset_path: str,
+                 include_crowds: bool = False):
         with open(ann_path) as f:
             ann = json.load(f)
         self._dataset_path = dataset_path
+        self._include_crowds = include_crowds
         self._category_ids = sorted(c["id"] for c in ann["categories"])
         self._cat_index = {cid: i for i, cid in enumerate(self._category_ids)}
         cat_by_id = {c["id"]: c for c in ann["categories"]}
@@ -32,7 +42,7 @@ class COCO(Base):
         self._images = ann["images"]
         self._anns_by_image: Dict[int, List[dict]] = {}
         for a in ann["annotations"]:
-            if a.get("iscrowd", 0):
+            if a.get("iscrowd", 0) and not include_crowds:
                 continue  # reference: getAnnIds(iscrowd=False) coco.py:33
             self._anns_by_image.setdefault(a["image_id"], []).append(a)
 
@@ -47,18 +57,24 @@ class COCO(Base):
     def __iter__(self) -> Iterator[Dict]:
         for image in self._images:
             annotations = self._anns_by_image.get(image["id"], [])
-            boxes, class_ids = [], []
+            boxes, class_ids, iscrowd, areas = [], [], [], []
             for a in annotations:
                 left, top, width, height = a["bbox"]
                 if height < 1 or width < 1:  # reference coco.py:42-44
                     continue
                 boxes.append([top, left, top + height, left + width])
                 class_ids.append(self._cat_index[a["category_id"]])
+                iscrowd.append(bool(a.get("iscrowd", 0)))
+                areas.append(float(a.get("area", width * height)))
             if not boxes:
                 continue  # reference skips images without boxes coco.py:55
-            yield {
+            sample = {
                 "image_file": os.path.join(self._dataset_path,
                                            image["file_name"]),
                 "class_ids": np.array(class_ids, np.int32),
                 "boxes": np.array(boxes, np.float32).reshape(-1, 4),
             }
+            if self._include_crowds:
+                sample["iscrowd"] = np.array(iscrowd, bool)
+                sample["areas"] = np.array(areas, np.float32)
+            yield sample

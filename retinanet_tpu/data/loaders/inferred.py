@@ -16,10 +16,14 @@ from retinanet_tpu.data.loaders.base import Base
 
 
 class Inferred(Base):
-    def __init__(self, type: str, args: Sequence[str]):
+    def __init__(self, type: str, args: Sequence[str],
+                 include_crowds: bool = False):
+        """``include_crowds`` is the COCO evaluation mode (crowd GTs kept as
+        ignore regions with ``iscrowd``/``areas`` arrays); loaders without a
+        crowd concept ignore it."""
         if type == "coco":
             from retinanet_tpu.data.loaders.coco import COCO
-            self._dl = COCO(*args)
+            self._dl = COCO(*args, include_crowds=include_crowds)
         elif type == "pascal":
             from retinanet_tpu.data.loaders.pascal import Pascal
             self._dl = Pascal(*args)

@@ -20,9 +20,17 @@ Self-contained numpy implementation of the COCO detection metric protocol
   * AP averaged over IoU thresholds .50:.05:.95, mean over classes with ≥1
     non-ignored GT; AR (max recall) at maxDets 1/10/100
 
-Validated in tests against hand-derived traces of the pycocotools algorithm
-(``tests/test_eval.py``), including maxDets truncation, score ties, equal-IoU
-tie-breaking, and area-range ignores.
+  * crowd GTs (``iscrowd``) are ignore *regions*: matched by intersection-
+    over-detection-area, multi-matchable, never counted toward recall —
+    ``cocoeval.py evaluateImg`` iscrowd branches
+  * area-range ignores read the annotation ``area`` (segmentation area on
+    real COCO) when provided, falling back to bbox area
+
+Validated two ways: hand-derived traces of the pycocotools algorithm
+(``tests/test_eval.py``) and an *independent* cocoeval.py transliteration
+property-tested to 1e-9 agreement over 1200+ randomized images with score
+ties, IoU-at-threshold ties, crowds, area overrides and maxDets truncation
+(``tests/test_eval_reference_matcher.py``).
 
 ``COCOEvaluator`` is streaming: per-image matching happens in ``add`` and
 memory is O(total detections), not O(dataset) — images are never retained.
@@ -34,7 +42,10 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# Exactly pycocotools Params: linspace, NOT arange — arange's accumulated
+# fp error (0.6000000000000001) flips matches whose IoU is exactly at a
+# threshold.
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 # COCOeval areaRng: all / small / medium / large (cocoeval.py Params).
 AREA_RANGES = {
@@ -46,9 +57,15 @@ AREA_RANGES = {
 
 
 def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[N,4] × [M,4] (t,l,b,r) → [N,M] IoU."""
+    """[N,4] × [M,4] (t,l,b,r) → [N,M] IoU.
+
+    float64 throughout: pycocotools computes IoU in double, and float32
+    rounding at an exact-threshold IoU (e.g. 0.6) flips matches.
+    """
     if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)), np.float32)
+        return np.zeros((len(a), len(b)))
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
     t = np.maximum(a[:, None, 0], b[None, :, 0])
     l = np.maximum(a[:, None, 1], b[None, :, 1])
     bb = np.minimum(a[:, None, 2], b[None, :, 2])
@@ -60,6 +77,24 @@ def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+def _box_iof_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N,4] × [M,4] (t,l,b,r) → [N,M] intersection over the area of ``a``
+    (the detection) — COCOeval's crowd-GT "IoU" (``maskUtils.iou`` with
+    ``iscrowd=1``)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    t = np.maximum(a[:, None, 0], b[None, :, 0])
+    l = np.maximum(a[:, None, 1], b[None, :, 1])
+    bb = np.minimum(a[:, None, 2], b[None, :, 2])
+    r = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(bb - t, 0, None) * np.clip(r - l, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    return np.where(area_a[:, None] > 0,
+                    inter / np.maximum(area_a[:, None], 1e-12), 0.0)
+
+
 def _box_area(boxes: np.ndarray) -> np.ndarray:
     if len(boxes) == 0:
         return np.zeros(0, np.float32)
@@ -69,7 +104,8 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
 def _match_image(det_boxes: np.ndarray, det_scores: np.ndarray,
                  gt_boxes: np.ndarray, iou_threshold: float,
                  gt_ignore: Optional[np.ndarray] = None,
-                 area_range: Tuple[float, float] = (0.0, 1e10)):
+                 area_range: Tuple[float, float] = (0.0, 1e10),
+                 gt_crowd: Optional[np.ndarray] = None):
     """COCOeval ``evaluateImg`` for one (image, category, threshold).
 
     Returns (scores, tp, det_ignore) aligned in descending-score order.
@@ -77,16 +113,31 @@ def _match_image(det_boxes: np.ndarray, det_scores: np.ndarray,
     detection takes the best still-unmatched GT, where "best" uses strict
     ``<`` — equal IoU moves the match to the later GT.  A real (non-ignored)
     match stops the scan before ignored GTs (``cocoeval.py`` ``break``).
+
+    Crowd GTs (``gt_crowd``) follow COCOeval's crowd protocol exactly:
+    they are always ignore regions (``_prepare`` sets ``_ignore = iscrowd``,
+    so callers must include crowds in ``gt_ignore``), their "IoU" is
+    intersection over *detection* area (``maskUtils.iou``'s iscrowd flag),
+    and — unlike ordinary GTs — a crowd GT stays matchable after being
+    matched (``evaluateImg``: ``if gtm[...] > 0 and not iscrowd[gind]:
+    continue``), so one crowd region can absorb many detections.
     """
     order = np.argsort(-det_scores, kind="stable")
     det_boxes, det_scores = det_boxes[order], det_scores[order]
     if gt_ignore is None:
         gt_ignore = np.zeros(len(gt_boxes), bool)
+    if gt_crowd is None:
+        gt_crowd = np.zeros(len(gt_boxes), bool)
     # COCOeval sorts GT so ignored ones come last (stable).
     gt_order = np.argsort(gt_ignore, kind="stable")
-    gt_boxes, gt_ignore = gt_boxes[gt_order], gt_ignore[gt_order]
+    gt_boxes = gt_boxes[gt_order]
+    gt_ignore, gt_crowd = gt_ignore[gt_order], gt_crowd[gt_order]
 
     iou = _box_iou_matrix(det_boxes, gt_boxes)
+    if gt_crowd.any():
+        # Crowd columns use intersection-over-detection-area.
+        iof = _box_iof_matrix(det_boxes, gt_boxes)
+        iou = np.where(gt_crowd[None, :], iof, iou)
     gt_used = np.zeros(len(gt_boxes), bool)
     tp = np.zeros(len(det_boxes), bool)
     det_ig = np.zeros(len(det_boxes), bool)
@@ -94,7 +145,7 @@ def _match_image(det_boxes: np.ndarray, det_scores: np.ndarray,
     for d in range(len(det_boxes)):
         best, m = thr, -1
         for g in range(len(gt_boxes)):
-            if gt_used[g]:
+            if gt_used[g] and not gt_crowd[g]:
                 continue
             # A real match stops the scan once only ignored GTs remain.
             if m > -1 and not gt_ignore[m] and gt_ignore[g]:
@@ -169,13 +220,22 @@ class COCOEvaluator:
 
     def add(self, det: Dict, gt: Dict):
         """One image.  ``det``: boxes [N,4] (t,l,b,r), scores [N],
-        class_ids [N]; ``gt``: boxes [M,4], class_ids [M]."""
+        class_ids [N]; ``gt``: boxes [M,4], class_ids [M], optionally
+        ``iscrowd`` [M] — crowd GTs are ignore *regions* (COCOeval:
+        IoF matching, multi-matchable, never counted toward recall)."""
         det_boxes = np.asarray(det["boxes"], np.float32).reshape(-1, 4)
         det_scores = np.asarray(det["scores"], np.float32)
         det_cls = np.asarray(det["class_ids"])
         gt_boxes = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
         gt_cls = np.asarray(gt["class_ids"])
-        gt_area = _box_area(gt_boxes)
+        gt_crowd = (np.asarray(gt["iscrowd"], bool)
+                    if gt.get("iscrowd") is not None
+                    else np.zeros(len(gt_boxes), bool))
+        # COCOeval's area-range ignores read the annotation's ``area`` field
+        # (segmentation area on real COCO), not the bbox area — honor it
+        # when the caller provides one.
+        gt_area = (np.asarray(gt["areas"], np.float32)
+                   if gt.get("areas") is not None else _box_area(gt_boxes))
 
         classes = set(np.unique(det_cls)) | set(np.unique(gt_cls))
         for c in classes:
@@ -183,13 +243,14 @@ class COCOEvaluator:
             d_sel = det_cls == c
             g_sel = gt_cls == c
             db, ds = det_boxes[d_sel], det_scores[d_sel]
-            gb, ga = gt_boxes[g_sel], gt_area[g_sel]
+            gb, ga, gc = gt_boxes[g_sel], gt_area[g_sel], gt_crowd[g_sel]
             # Pre-truncate to the largest maxDets once (score-sorted).
             order = np.argsort(-ds, kind="stable")
             db, ds = db[order], ds[order]
             top_md = self.max_dets[-1]
             for area_name, (lo, hi) in self.area_ranges.items():
-                gt_ig = (ga < lo) | (ga > hi)
+                # COCOeval _prepare: _ignore = iscrowd OR out-of-area-range.
+                gt_ig = gc | (ga < lo) | (ga > hi)
                 key = (c, area_name)
                 self._num_gt[key] = self._num_gt.get(key, 0) + int(
                     np.sum(~gt_ig))
@@ -198,10 +259,12 @@ class COCOEvaluator:
                     # the smaller ones — equivalent because greedy matching
                     # in score order never lets a later det affect an
                     # earlier det's match (exactly COCOeval's accumulate
-                    # slicing of dtMatches[:, :maxDet]).
+                    # slicing of dtMatches[:, :maxDet]; crowds preserve
+                    # this — they stay matchable regardless of earlier
+                    # matches).
                     scores, tp, dig = _match_image(
                         db[:top_md], ds[:top_md], gb, float(thr), gt_ig,
-                        (lo, hi))
+                        (lo, hi), gt_crowd=gc)
                     for md in self.max_dets:
                         pool = self._pool((c, t, area_name, md))
                         pool[0].append(scores[:md])
@@ -281,16 +344,24 @@ def evaluate_model(detector, loader, config, max_images: int = None,
                    score_threshold: float = None) -> Dict[str, float]:
     """Run the detector over a loader and compute mAP, streaming.
 
-    One pass over the loader; each sample is preprocessed, batched (last
-    partial batch is padded to keep one compiled program), detected, matched
-    into the evaluator, and dropped.  Detections are produced in canvas
-    coordinates and mapped back to original-image pixels via the per-sample
-    resize scale; GT comes straight from the loader sample (original
-    pixels).  Memory is O(batch), not O(dataset).
+    One pass over the loader; each sample is preprocessed, batched (partial
+    batches are padded to keep one compiled program per canvas), detected,
+    matched into the evaluator, and dropped.  Detections are produced in
+    canvas coordinates and mapped back to original-image pixels via the
+    per-sample resize scale; GT comes straight from the loader sample
+    (original pixels).  Memory is O(batch), not O(dataset).
+
+    Honors ``config.data.buckets``: each sample lands on its least-padding
+    rectangular canvas and batches are bucket-homogeneous, exactly like
+    training — so a model trained with ``--buckets`` evaluates under the
+    same padding geometry (round-2 advisor: square-only eval understated
+    mAP on non-square datasets).  No sample is ever dropped (unlike the
+    training pipeline's static-batch remainder drop).
     """
     import dataclasses
 
-    from retinanet_tpu.data.pipeline import process_sample
+    from retinanet_tpu.data.pipeline import (
+        _imread, pick_bucket, process_sample)
 
     data_cfg = dataclasses.replace(config.data, augment_flip=False,
                                    augment_photometric=False)
@@ -299,11 +370,11 @@ def evaluate_model(detector, loader, config, max_images: int = None,
     batch_size = data_cfg.batch_size
 
     evaluator = COCOEvaluator(loader.num_classes)
-    images: List[np.ndarray] = []
-    scales: List[float] = []
-    gts: List[Dict] = []
+    # canvas (h, w) -> ([images], [scales], [gts])
+    pending: Dict[tuple, tuple] = {}
 
-    def flush():
+    def flush(canvas):
+        images, scales, gts = pending.pop(canvas, ([], [], []))
         if not images:
             return
         n = len(images)
@@ -317,18 +388,34 @@ def evaluate_model(detector, loader, config, max_images: int = None,
                 keep = det["scores"] >= score_threshold
                 det = {k: v[keep] for k, v in det.items()}
             evaluator.add(det, gt)
-        images.clear(), scales.clear(), gts.clear()
+
+    def canvas_tuple(image_size):
+        if isinstance(image_size, (tuple, list)):
+            return (int(image_size[0]), int(image_size[1]))
+        return (int(image_size), int(image_size))
 
     for i, sample in enumerate(loader):
         if max_images is not None and i >= max_images:
             break
-        out = process_sample(sample, data_cfg.image_size, mean, std,
+        canvas = canvas_tuple(data_cfg.image_size)
+        if data_cfg.buckets:
+            image = sample.get("image")
+            if image is None:
+                image = _imread(sample["image_file"])
+                sample = {**sample, "image": image}
+            canvas = pick_bucket(image.shape[0], image.shape[1],
+                                 data_cfg.buckets)
+        out = process_sample(sample, canvas, mean, std,
                              max_boxes=config.assign.max_boxes, flip=False)
+        images, scales, gts = pending.setdefault(canvas, ([], [], []))
         images.append(out["image"])
         scales.append(float(out["scale"]))
         gts.append({"boxes": np.asarray(sample["boxes"], np.float32),
-                    "class_ids": np.asarray(sample["class_ids"])})
+                    "class_ids": np.asarray(sample["class_ids"]),
+                    "iscrowd": sample.get("iscrowd"),
+                    "areas": sample.get("areas")})
         if len(images) == batch_size:
-            flush()
-    flush()
+            flush(canvas)
+    for canvas in list(pending):
+        flush(canvas)
     return evaluator.summarize()

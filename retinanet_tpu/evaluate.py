@@ -83,7 +83,9 @@ def main(argv=None):
     ]:
         config = _apply_dotted(config, dotted, value)
 
-    loader = Inferred(args.dataset[0], args.dataset[1:])
+    # Evaluation mode: crowd annotations become ignore regions (COCO eval
+    # protocol) rather than being dropped (the training behaviour).
+    loader = Inferred(args.dataset[0], args.dataset[1:], include_crowds=True)
     detector = load_detector(config, loader, args.step)
     metrics = evaluate_model(detector, loader, config,
                              max_images=args.max_images,

@@ -78,11 +78,17 @@ class Detector:
         ``class_ids`` holding only valid detections.
         """
         out = jax.device_get(self(images))
-        image_size = self.config.data.image_size
+        # Pixel scale comes from the actual batch canvas, per-dimension —
+        # decode normalizes boxes by (H, W) of the batch (see
+        # make_inference_fn), so rectangular-bucket canvases and sizes that
+        # differ from config.data.image_size round-trip correctly.
+        canvas_h, canvas_w = images.shape[1], images.shape[2]
+        scale_tlbr = np.array([canvas_h, canvas_w, canvas_h, canvas_w],
+                              np.float32)
         results = []
         for i in range(out.boxes.shape[0]):
             valid = out.valid[i]
-            boxes = out.boxes[i][valid] * image_size
+            boxes = out.boxes[i][valid] * scale_tlbr
             if scales is not None:
                 boxes = boxes / scales[i]
             results.append({

@@ -54,6 +54,8 @@ def decode_level(
     anchor_sizes: Array,     # [A, 2] normalized
     top_k: int,
     score_threshold: float,
+    approx: bool = False,
+    approx_recall: float = 0.95,
 ) -> BoxesDecoded:
     """Top-k candidates of one pyramid level (replaces boolean-mask decode).
 
@@ -73,7 +75,13 @@ def decode_level(
 
     n = h * w * a
     k = min(top_k, n)
-    top_logits, top_idx = jax.lax.top_k(best_logit.reshape(b, -1), k)
+    if approx and k < n:
+        # TPU PartialReduce top-k: returns ≥ recall_target of the true
+        # top-k (unsorted is fine — NMS re-sorts exactly downstream).
+        top_logits, top_idx = jax.lax.approx_max_k(
+            best_logit.reshape(b, -1), k, recall_target=approx_recall)
+    else:
+        top_logits, top_idx = jax.lax.top_k(best_logit.reshape(b, -1), k)
     scores = jax.nn.sigmoid(top_logits)
 
     regr = jnp.take_along_axis(
@@ -114,7 +122,9 @@ def decode_levels(
             levels.normalized_anchor_sizes(pn, image_size))
         parts.append(decode_level(
             classifications[pn], regressions[pn], anchor_sizes,
-            cfg.top_k_per_level, cfg.score_threshold))
+            cfg.top_k_per_level, cfg.score_threshold,
+            approx=cfg.use_approx_top_k,
+            approx_recall=cfg.approx_top_k_recall))
     return BoxesDecoded(
         boxes=jnp.concatenate([p.boxes for p in parts], axis=1),
         scores=jnp.concatenate([p.scores for p in parts], axis=1),

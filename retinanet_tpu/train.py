@@ -146,6 +146,14 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
     metrics dict differs in keys only.
     """
     num_classes = model.num_classes
+    if config.model.quantize != "none":
+        # int8 is a serving-only path: _int8_conv quantizes with round/clip
+        # and no straight-through estimator, so conv-kernel gradients are
+        # exactly zero — training would silently not learn.
+        raise ValueError(
+            f"model.quantize={config.model.quantize!r} is serving-only "
+            "(quantized convs have zero gradients); train with "
+            "quantize='none' and quantize at inference time")
     tx = build_optimizer(config.train)
     schedule = build_schedule(config.train)
 
@@ -280,6 +288,16 @@ class Trainer:
                 raise ValueError(
                     f"global batch {config.data.batch_size} not divisible "
                     f"by {self.num_processes} processes")
+            if config.data.buckets:
+                # Bucketed canvases pick a per-batch shape from the batch's
+                # own aspect ratios — processes would disagree on the canvas
+                # at the same step and make_array_from_process_local_data
+                # would assemble mismatched shards.  Square canvas only.
+                raise ValueError(
+                    "data.buckets is incompatible with multi-process "
+                    "training: per-process batches would pick different "
+                    "canvas shapes at the same step; use a square "
+                    "data.image_size canvas")
             n_avail = config.parallel.num_devices or len(jax.devices())
             if config.data.batch_size % n_avail:
                 raise ValueError(
@@ -292,7 +310,21 @@ class Trainer:
             local_data = dataclasses.replace(
                 config.data,
                 batch_size=config.data.batch_size // self.num_processes)
+            # Shards differ by at most one sample when the dataset size is
+            # not divisible by the process count; the pipeline drops the
+            # final short batch, so batch counts per epoch can differ by one
+            # across processes — the longer process would enter an extra
+            # collective step and deadlock.  Cap every process at the
+            # guaranteed minimum (smallest shard // local batch), computed
+            # identically everywhere from the GLOBAL dataset length.
+            try:
+                min_shard = len(loader) // self.num_processes
+                self._sync_steps_per_epoch = (
+                    min_shard // local_data.batch_size)
+            except TypeError:  # unsized loader: caller must set
+                self._sync_steps_per_epoch = None  # steps_per_epoch
         else:
+            self._sync_steps_per_epoch = None
             # Mesh size must divide the global batch; auto-shrink like the
             # reference only enables MirroredStrategy when it fits
             # (train.py:261-262), preserving identical small-batch behaviour.
@@ -336,18 +368,20 @@ class Trainer:
 
         Retains only the newest ``keep_checkpoints`` completed checkpoints
         (the reference's Estimator kept 5, ``RunConfig`` default).  Pruning
-        happens before the new save and only touches finalized ``step_N``
-        directories, so an in-flight async save (always the newest) is never
-        deleted.
+        happens AFTER the new save is dispatched and only touches finalized
+        ``step_N`` directories (the in-flight async save is tmp-named until
+        finalized), and it always retains the newest ``keep_checkpoints``
+        finalized ones — so even with ``keep_checkpoints=1`` a crash or a
+        failed save mid-flight never leaves zero restorable checkpoints.
         """
-        if self.is_lead:
-            self._prune_checkpoints(
-                keep=max(1, self.config.train.keep_checkpoints) - 1)
         step = int(state.step)
         path = os.path.join(self.checkpoint_dir, f"step_{step}")
         self._ckpt().save(path, {"step": state.step, "params": state.params,
                                  "opt_state": state.opt_state}, force=True)
         logger.info("saving checkpoint at step %d", step)
+        if self.is_lead:
+            self._prune_checkpoints(
+                keep=max(1, self.config.train.keep_checkpoints))
 
     def _prune_checkpoints(self, keep: int):
         if not os.path.isdir(self.checkpoint_dir):
@@ -368,6 +402,12 @@ class Trainer:
     def wait_for_checkpoints(self):
         if self._checkpointer is not None:
             self._checkpointer.wait_until_finished()
+            # Now that the in-flight save is finalized, enforce the exact
+            # retention count (save-time pruning keeps one extra while the
+            # newest save is still tmp-named).
+            if self.is_lead:
+                self._prune_checkpoints(
+                    keep=max(1, self.config.train.keep_checkpoints))
 
     def latest_checkpoint_step(self) -> Optional[int]:
         self.wait_for_checkpoints()
@@ -490,6 +530,13 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.train.epochs
         steps_per_epoch = (steps_per_epoch if steps_per_epoch is not None
                            else cfg.train.steps_per_epoch)
+        if steps_per_epoch is None:
+            # Multi-process: all processes must take the same number of
+            # collective steps per epoch (see __init__).
+            steps_per_epoch = self._sync_steps_per_epoch
+        elif self._sync_steps_per_epoch is not None:
+            steps_per_epoch = min(steps_per_epoch,
+                                  self._sync_steps_per_epoch)
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         state = create_train_state(self.model, cfg, rng)

@@ -12,6 +12,17 @@ and is tested:
     (e.g. converted from torch/TF) onto the backbone param pytree by
     shape-compatible greedy matching in traversal order, with a report of
     what matched
+  * ``convert_torch_layout`` / ``convert_tf_layout``: memory-layout
+    conversion for foreign checkpoints (torch OIHW → HWIO, torch linear
+    [O,I] → [I,O], TF depthwise [H,W,C,M] → [H,W,1,C·M], BN running stats
+    dropped) — without this a genuine torch/TF checkpoint zero-matches on
+    shapes
+  * ``convert_torchvision_resnet50``: exact name mapping from a torchvision
+    ``resnet50`` state_dict onto :class:`~retinanet_tpu.models.resnet.
+    ResNet50`'s param tree (BN γ/β → GroupNorm γ/β).  Needed because the
+    flax block orders its projection conv *first* (``ConvGN_0``) while
+    torchvision puts ``downsample`` after ``conv3`` — order-preserving
+    shape pairing would cross-wire them.
 """
 
 from __future__ import annotations
@@ -60,6 +71,99 @@ def load_backbone(params, path: str):
 
     new_backbone = jax.tree_util.tree_map_with_path(replace, backbone)
     return {**params, "backbone_net": new_backbone}
+
+
+def convert_torch_layout(weights: Dict[str, np.ndarray]
+                         ) -> Dict[str, np.ndarray]:
+    """torch → flax memory-layout conversion (names preserved).
+
+    * conv kernels [O, I/g, kH, kW] → HWIO [kH, kW, I/g, O] (covers
+      depthwise [C, 1, kH, kW] → [kH, kW, 1, C] too)
+    * linear ``*.weight`` [O, I] → [I, O]
+    * BatchNorm ``running_mean`` / ``running_var`` / ``num_batches_tracked``
+      dropped — GroupNorm has no running statistics, and their [C] shapes
+      would otherwise collide with γ/β in shape matching
+    """
+    out = {}
+    for name, arr in weights.items():
+        base = name.rsplit(".", 1)[-1]
+        if base in ("running_mean", "running_var", "num_batches_tracked"):
+            continue
+        arr = np.asarray(arr)
+        if arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)
+        elif arr.ndim == 2 and base == "weight":
+            arr = arr.T
+        out[name] = arr
+    return out
+
+
+def convert_tf_layout(weights: Dict[str, np.ndarray]
+                      ) -> Dict[str, np.ndarray]:
+    """TF/TF-slim → flax layout conversion (names preserved).
+
+    TF conv kernels are already HWIO; depthwise kernels
+    [H, W, C, multiplier] become the ``feature_group_count`` form
+    [H, W, 1, C·multiplier].  BN moving statistics are dropped (GroupNorm
+    backbone has none).
+    """
+    out = {}
+    for name, arr in weights.items():
+        low = name.lower()
+        if "moving_mean" in low or "moving_variance" in low:
+            continue
+        arr = np.asarray(arr)
+        if arr.ndim == 4 and "depthwise" in low:
+            h, w, c, m = arr.shape
+            arr = arr.reshape(h, w, 1, c * m)
+        out[name] = arr
+    return out
+
+
+#: torchvision resnet50 stage depths (layer1..layer4).
+_RESNET50_DEPTHS = (3, 4, 6, 3)
+
+
+def convert_torchvision_resnet50(state_dict: Dict[str, np.ndarray]
+                                 ) -> Dict[str, np.ndarray]:
+    """Map a torchvision ``resnet50`` state_dict onto the exact param names
+    of :class:`~retinanet_tpu.models.resnet.ResNet50` (OIHW → HWIO on the
+    way; BN γ/β land on GroupNorm γ/β; ``fc.*`` and running stats are
+    dropped — the backbone has no classifier).
+
+    The result feeds :func:`import_flat_weights`, where every entry matches
+    **by name** (pass 1), so repeated same-shape layers can never
+    cross-wire.  This makes the reference's dead ``download_weights.sh``
+    capability real (``/root/reference/download_weights.sh:1-5``).
+    """
+    sd = state_dict
+    out: Dict[str, np.ndarray] = {}
+
+    def put(prefix: str, conv_w, bn_w, bn_b) -> None:
+        out[f"{prefix}/Conv_0/kernel"] = \
+            np.asarray(conv_w).transpose(2, 3, 1, 0)
+        out[f"{prefix}/GroupNorm_0/gamma"] = np.asarray(bn_w)
+        out[f"{prefix}/GroupNorm_0/beta"] = np.asarray(bn_b)
+
+    put("ConvGN_0", sd["conv1.weight"], sd["bn1.weight"], sd["bn1.bias"])
+    idx = 0
+    for layer, depth in enumerate(_RESNET50_DEPTHS, start=1):
+        for b in range(depth):
+            src = f"layer{layer}.{b}"
+            dst = f"ResNetBottleneck_{idx}"
+            # The flax block creates the projection FIRST, so in projected
+            # blocks conv1..3 are ConvGN_1..3; otherwise ConvGN_0..2.
+            has_proj = f"{src}.downsample.0.weight" in sd
+            if has_proj:
+                put(f"{dst}/ConvGN_0", sd[f"{src}.downsample.0.weight"],
+                    sd[f"{src}.downsample.1.weight"],
+                    sd[f"{src}.downsample.1.bias"])
+            off = 1 if has_proj else 0
+            for k in (1, 2, 3):
+                put(f"{dst}/ConvGN_{k - 1 + off}", sd[f"{src}.conv{k}.weight"],
+                    sd[f"{src}.bn{k}.weight"], sd[f"{src}.bn{k}.bias"])
+            idx += 1
+    return out
 
 
 def _natural_key(name: str):

@@ -83,3 +83,86 @@ def test_benchmark_runs_on_cpu():
     out = benchmark(cfg, batch_size=1, steps=1, warmup=0, num_classes=3)
     assert out["images_per_sec"] > 0
     assert out["image_size"] == 64
+
+
+def test_detect_rect_canvas_pixel_scaling():
+    """detect() scales normalized boxes by the ACTUAL batch canvas (H, W),
+    not config.data.image_size (round-2 advisor finding: non-square bucket
+    canvases returned wrong pixel coordinates)."""
+    cfg = dataclasses.replace(
+        _config(), nms=dataclasses.replace(_config().nms,
+                                           score_threshold=0.0))
+    det = _detector(cfg)
+    h, w = 64, 96  # non-square, != config image_size on the W axis
+    images = np.random.RandomState(0).rand(1, h, w, 3).astype(np.float32)
+    raw = jax.device_get(det(images))
+    results = det.detect(images)
+    valid = raw.valid[0]
+    assert valid.any()  # threshold 0 → top-k all valid
+    expect = raw.boxes[0][valid] * np.array([h, w, h, w], np.float32)
+    np.testing.assert_allclose(results[0]["boxes"], expect, rtol=1e-6)
+    # Pixel coords live inside the canvas (sanity on the axis order).
+    assert results[0]["boxes"][:, 0].max() <= h + 1e-3
+    assert results[0]["boxes"][:, 1].max() <= w + 1e-3
+
+
+def test_evaluate_model_buckets_match_square():
+    """Bucketed eval == square eval when every sample picks the square
+    bucket; rectangular loaders exercise per-bucket batches with no samples
+    dropped (VERDICT r2 #4)."""
+    cfg = _config()
+    det = _detector(cfg)
+    loader = Shapes(None, 5, (64, 64))
+    square = evaluate_model(det, loader, cfg)
+
+    bcfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      buckets=((64, 64), (32, 64))))
+    bucketed = evaluate_model(det, loader, bcfg)
+    # Square shapes images all pick the (64, 64) bucket → identical metrics
+    # (nan-safe comparison: an all-nan area bucket is equal to itself).
+    assert set(bucketed) == set(square)
+    for k in square:
+        np.testing.assert_equal(bucketed[k], square[k])
+
+
+def test_evaluate_model_rect_buckets_no_drop():
+    """Samples split across buckets: all are evaluated, including partial
+    per-bucket batches (the training pipeline drops remainders; eval must
+    not)."""
+    import retinanet_tpu.eval_coco as ec
+
+    cfg = _config()
+    det = _detector(cfg)
+
+    class RectLoader:
+        class_names = ["square", "triangle", "circle"]
+        num_classes = 3
+
+        def __iter__(self):
+            rng = np.random.RandomState(0)
+            for i in range(5):
+                h, w = (48, 96) if i % 2 else (96, 48)  # 3 tall, 2 wide
+                yield {
+                    "image": (rng.rand(h, w, 3) * 255).astype(np.uint8),
+                    "boxes": np.array([[4.0, 4.0, 20.0, 20.0]], np.float32),
+                    "class_ids": np.array([0], np.int32),
+                }
+
+    bcfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      buckets=((32, 64), (64, 32))))
+    calls = []
+    orig_add = ec.COCOEvaluator.add
+
+    def counting_add(self, det_d, gt_d):
+        calls.append(1)
+        return orig_add(self, det_d, gt_d)
+
+    ec.COCOEvaluator.add = counting_add
+    try:
+        metrics = evaluate_model(det, RectLoader(), bcfg)
+    finally:
+        ec.COCOEvaluator.add = orig_add
+    assert len(calls) == 5  # every sample matched into the evaluator
+    assert "mAP" in metrics

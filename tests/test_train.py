@@ -359,3 +359,38 @@ def test_uint8_batch_matches_float_batch(tmp_path):
     _, m_f32 = step(s1, jnp.asarray(f32), *args)
     np.testing.assert_allclose(float(m_u8["total_loss"]),
                                float(m_f32["total_loss"]), rtol=1e-5)
+
+
+def test_train_step_rejects_int8_quantize(tmp_path):
+    """int8 is serving-only: quantized convs have zero gradients, so
+    training with model.quantize='int8' must fail loudly (advisor r2)."""
+    import dataclasses
+    cfg = _tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    with pytest.raises(ValueError, match="serving-only"):
+        make_train_step(model, levels, cfg)
+
+
+def test_multiprocess_guards(tmp_path, monkeypatch):
+    """Multi-host Trainer: buckets are rejected, and per-epoch step counts
+    are synchronized to the smallest shard (advisor r2 deadlock finding)."""
+    import dataclasses
+    from retinanet_tpu.data.loaders.shapes import Shapes
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+
+    cfg = _tiny_config(tmp_path, batch_size=8)
+    bucket_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      buckets=((64, 64), (64, 32))))
+    with pytest.raises(ValueError, match="buckets"):
+        Trainer(bucket_cfg, loader=Shapes(None, 10, (64, 64)))
+
+    # 19 samples / 2 processes -> shards of 10 and 9; local batch 4 ->
+    # guaranteed minimum (19 // 2) // 4 = 2 steps per epoch on EVERY process.
+    trainer = Trainer(cfg, loader=Shapes(None, 19, (64, 64)))
+    assert trainer._sync_steps_per_epoch == 2
