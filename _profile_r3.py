@@ -207,6 +207,49 @@ def trace(batch=128, size=640):
         print(f"trace failed: {type(e).__name__}: {e}")
 
 
+def nmsprof(batch=128, size=640):
+    """Attribute the decode+NMS cost (45 ms / 45 GB at b128 in `stages`):
+    forward → +decode_levels (full) → +candidate top-k → +suppression
+    (pallas and fallback) → +final select."""
+    from retinanet_tpu.ops.nms import decode_levels, nms_padded
+
+    config, levels, model, params, images = _flagship(batch, size)
+    nms_cfg = config.nms
+
+    def fwd(p, x):
+        return model.apply({"params": p}, x, training=False)
+
+    def dec(p, x):
+        out = fwd(p, x)
+        d = decode_levels(out["classifications"], out["regressions"],
+                          levels, x.shape[1:3], nms_cfg)
+        return d
+
+    rows = []
+
+    def row(name, jitted):
+        t = timeit(jitted, params, images)
+        fl, by = _cost(jitted, params, images)
+        rows.append((name, t))
+        print(f"{name:30s} {t*1e3:8.2f} ms  {by/1e9:7.2f} GB", flush=True)
+
+    row("forward", jax.jit(lambda p, x: jax.tree_util.tree_map(
+        lambda v: jnp.sum(v.astype(jnp.float32)), fwd(p, x))))
+    row("+decode_levels(full)", jax.jit(
+        lambda p, x: [jnp.sum(v.astype(jnp.float32))
+                      for v in dec(p, x)[:3]]))
+
+    import jax.numpy as jnp2
+    for use_pallas, tag in ((True, "pallas"), (False, "fallback")):
+        def full(p, x, up=use_pallas):
+            d = dec(p, x)
+            return nms_padded(d, iou_threshold=nms_cfg.iou_threshold,
+                              max_output_size=nms_cfg.max_output_size,
+                              classwise=True, use_pallas=up,
+                              pre_nms_top_k=nms_cfg.pre_nms_top_k).scores
+        row(f"+nms({tag})", jax.jit(full))
+
+
 def approx(batch=128, size=640):
     """In-model A/B: exact vs approx_max_k decode."""
     from retinanet_tpu.infer import make_inference_fn
@@ -269,6 +312,45 @@ def s2d(batch=128, size=640):
     print(f"4x4/1 fused s2d:   {tf_*1e3:.3f} ms")
 
 
+def int8dot():
+    """VERDICT r2 #6: is the 394 TOPS int8 MXU path reachable from this
+    toolchain AT ALL?  Measures s8×s8→s32 jnp.dot at square matmul shapes
+    (the cleanest possible int8 MXU op — no conv lowering in the way) vs
+    bf16, plus an im2col-shaped rectangular case matching the head conv."""
+    rng = np.random.RandomState(0)
+    shapes = [(4096, 4096, 4096), (8192, 8192, 8192),
+              (819200, 2304, 256),   # head trunk im2col: B*HW x K x N
+              (819200, 2304, 720)]   # head output conv
+    for m, k, n in shapes:
+        a8 = jnp.asarray(rng.randint(-127, 127, (m, k)), jnp.int8)
+        b8 = jnp.asarray(rng.randint(-127, 127, (k, n)), jnp.int8)
+        abf = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+        bbf = jnp.asarray(rng.randn(k, n), jnp.bfloat16)
+
+        @jax.jit
+        def dot_i8(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        @jax.jit
+        def dot_bf(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)
+
+        flops = 2.0 * m * k * n
+        try:
+            t8 = timeit(dot_i8, a8, b8, iters=10)
+        except Exception as e:
+            print(f"{m}x{k}x{n} int8 FAILED: {type(e).__name__}: {e}")
+            t8 = float("nan")
+        tb = timeit(dot_bf, abf, bbf, iters=10)
+        print(f"{m}x{k}x{n}: int8 {flops/t8/1e12:7.1f} TOP/s  "
+              f"bf16 {flops/tb/1e12:7.1f} TF/s  ratio {tb/t8:.2f}x",
+              flush=True)
+
+
 def latency():
     """Serving-latency sweep: b1/b8 p50 across NMS cap configs."""
     from retinanet_tpu.infer import benchmark
@@ -276,6 +358,7 @@ def latency():
     base = Config()
     for name, over in (
         ("default", {}),
+        ("default_nopallas", dict(use_pallas=False)),
         ("lat_caps", dict(top_k_per_level=200, pre_nms_top_k=400)),
         ("lat_caps_nopallas", dict(top_k_per_level=200, pre_nms_top_k=400,
                                    use_pallas=False)),
@@ -300,4 +383,4 @@ if __name__ == "__main__":
     print("backend:", jax.default_backend())
     args = [int(a) for a in sys.argv[2:]]
     dict(stages=stages, cost=cost, trace=trace, approx=approx, s2d=s2d,
-         latency=latency)[part](*args)
+         latency=latency, nmsprof=nmsprof, int8dot=int8dot)[part](*args)

@@ -32,10 +32,15 @@ def main(argv=None):
     config = Config()
     # Flagship: dense ResNet-50 (the reference's 'resnet_50' is ResNeXt,
     # whose 4-channel grouped convs waste the MXU; both are available).
+    # Serving config: approx_max_k candidate selection (single-pass TPU
+    # PartialReduce instead of a full sort; ≥95% of the true per-level
+    # top-1000 — measured mAP-neutral on shapes, see NOTES round 3).
     config = dataclasses.replace(
-        config, model=dataclasses.replace(config.model,
-                                          backbone=args.backbone,
-                                          quantize=args.quantize))
+        config,
+        model=dataclasses.replace(config.model,
+                                  backbone=args.backbone,
+                                  quantize=args.quantize),
+        nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     on_tpu = jax.default_backend() == "tpu"
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
     # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.
@@ -55,10 +60,29 @@ def main(argv=None):
         "backend": jax.default_backend(),
     }
 
-    # Train-step throughput (assignment + fwd + bwd + optimizer), same
-    # flagship config (training is always float — quantize is serving-only).
+    # Serving latency: batch-1/8 p50 with the latency-specialized NMS caps
+    # (smaller per-level top-k and pre-NMS cap; per-batch-size compiled
+    # programs).  Companion metric to the throughput headline
+    # (BASELINE.md "p50 latency tracked").
     try:
-        from retinanet_tpu.train import benchmark_train
+        from retinanet_tpu.config import NMSConfig  # noqa: F401
+        lat_cfg = dataclasses.replace(
+            config, nms=dataclasses.replace(
+                config.nms, top_k_per_level=200, pre_nms_top_k=400))
+        for bs, key in ((1, "b1_p50_ms"), (8, "b8_p50_ms")):
+            r = benchmark(lat_cfg, batch_size=bs,
+                          steps=20 if on_tpu else 2,
+                          warmup=3 if on_tpu else 1, num_classes=80)
+            record[key] = round(r["p50_latency_ms"], 2)
+    except Exception as e:  # never lose the headline metric
+        record["latency_bench_error"] = f"{type(e).__name__}: {e}"
+
+    # Train-step throughput (assignment + fwd + bwd + optimizer), same
+    # flagship config (training is always float — quantize is serving-only):
+    # synthetic-step (device capability) AND live-pipeline (host decode +
+    # uint8 transfer overlapped) variants.
+    try:
+        from retinanet_tpu.train import benchmark_train, benchmark_train_pipeline
         train_cfg = dataclasses.replace(
             config, model=dataclasses.replace(config.model, quantize="none"))
         if not on_tpu:
@@ -74,6 +98,12 @@ def main(argv=None):
         record["train_images_per_sec"] = round(train["images_per_sec"], 2)
         record["train_step_ms"] = round(train["step_ms"], 2)
         record["train_batch_size"] = train["batch_size"]
+        pipe = benchmark_train_pipeline(
+            train_cfg, batch_size=32 if on_tpu else 2,
+            steps=10 if on_tpu else 1, warmup=2 if on_tpu else 1,
+            num_classes=80 if on_tpu else 4)
+        record["train_images_per_sec_pipeline"] = round(
+            pipe["images_per_sec"], 2)
     except Exception as e:  # never lose the headline metric
         record["train_bench_error"] = f"{type(e).__name__}: {e}"
 

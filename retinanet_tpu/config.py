@@ -177,7 +177,14 @@ class NMSConfig:
     # keeping only the top 1000 inputs deviates only when >1000 anchors score
     # above the 0.5 threshold.  Bounds the suppression loop's sequential work.
     pre_nms_top_k: int = 1000
-    use_pallas: bool = True
+    # Suppression backend: the Pallas kernel won in round 2's measurements,
+    # but after the round-3 packed-key decode the vmapped fori_loop
+    # fallback is faster at EVERY batch size tested (b1 33.8 vs 34.3 ms
+    # p50; b32 416 vs 405 img/s; b128 538 vs 501) — the kernel batches
+    # images on sublanes (≤8 per VMEM chunk) and serializes chunks.  Both
+    # are bit-exact greedy NMS; the kernel stays available for
+    # configurations where it wins again.
+    use_pallas: bool = False
     # TPU-native approximate top-k (jax.lax.approx_max_k) for the per-level
     # candidate selection: the TPU's partial-reduce sort unit is ~1.2×
     # faster than exact top_k on the big P3 map.  Only affects WHICH ~1000

@@ -65,6 +65,11 @@ def main(argv=None):
              "reference's 0.5 is a *display* threshold (utils.py:186) and "
              "truncates the curve.")
     parser.add_argument("--step", type=int, default=None)
+    parser.add_argument(
+        "--approx-top-k", action="store_true",
+        help="approx_max_k candidate selection (the serving fast path; "
+             "single-pass TPU PartialReduce, >=95%% of the true per-level "
+             "top-k)")
     parser.add_argument("--quantize", type=str, default="none",
                         choices=["none", "int8"],
                         help="int8: post-training-quantized serving path "
@@ -80,6 +85,7 @@ def main(argv=None):
         ("model.quantize", args.quantize),
         ("train.experiment", args.experiment),
         ("nms.score_threshold", args.decode_threshold),
+        ("nms.use_approx_top_k", bool(args.approx_top_k)),
     ]:
         config = _apply_dotted(config, dotted, value)
 

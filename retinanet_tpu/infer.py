@@ -30,13 +30,19 @@ from retinanet_tpu.ops.nms import BoxesDecoded, decode_levels, nms_padded
 
 def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
                       use_pallas: Optional[bool] = None):
-    """(params, images [B,H,W,3]) → BoxesDecoded, fully jit-compiled."""
+    """(params, images [B,H,W,3]) → BoxesDecoded, fully jit-compiled.
+
+    ``use_pallas=None`` defers to ``config.nms.use_pallas`` (default: the
+    fori_loop fallback, which out-measures the Pallas suppression kernel
+    at every batch size after the packed-key decode — see NMSConfig).
+    """
     nms_cfg = config.nms
-    if use_pallas is None:
-        use_pallas = nms_cfg.use_pallas and jax.default_backend() == "tpu"
 
     def infer(params, images: Array) -> BoxesDecoded:
         from retinanet_tpu.ops.preprocess import maybe_normalize
+        up = use_pallas
+        if up is None:
+            up = nms_cfg.use_pallas and jax.default_backend() == "tpu"
         images = maybe_normalize(images, config.data)
         out = model.apply({"params": params}, images, training=False)
         # Canvas dims from the batch itself: rectangular-bucket batches
@@ -45,7 +51,7 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
                                 levels, images.shape[1:3], nms_cfg)
         return nms_padded(decoded, iou_threshold=nms_cfg.iou_threshold,
                           max_output_size=nms_cfg.max_output_size,
-                          classwise=True, use_pallas=use_pallas,
+                          classwise=True, use_pallas=up,
                           pre_nms_top_k=nms_cfg.pre_nms_top_k)
 
     return jax.jit(infer)

@@ -8,8 +8,13 @@ output bias is initialized to ``-log((1-π)/π)`` with π=0.01
 instance is applied to every pyramid level — Flax shares the parameters
 across calls exactly like the reference's shared ``tf.layers`` subnets.
 
-Logits are returned in float32: the loss reductions are precision-sensitive
-and this is the standard bf16-compute/fp32-logits mixed-precision split.
+Logits are returned in float32 **when training**: the loss reductions are
+precision-sensitive and this is the standard bf16-compute/fp32-logits
+mixed-precision split.  At inference the native compute dtype (bf16) is
+returned instead — the cast adds no precision (the convs accumulate in
+bf16 regardless) but doubles the HBM traffic of the dense class volume,
+which the decode stage then re-reads (measured 45 ms / 45 GB of the 265 ms
+b128@640 pipeline before this split).
 """
 
 from __future__ import annotations
@@ -47,8 +52,8 @@ class ClassificationSubnet(nn.Module):
                  use_bias=True, kernel_init=normal_001, bias_init=bias_init,
                  dtype=self.dtype)(x)
         b, h, w, _ = x.shape
-        return x.reshape(b, h, w, self.num_anchors,
-                         self.num_classes).astype(jnp.float32)
+        x = x.reshape(b, h, w, self.num_anchors, self.num_classes)
+        return x.astype(jnp.float32) if training else x
 
 
 class RegressionSubnet(nn.Module):
@@ -69,4 +74,5 @@ class RegressionSubnet(nn.Module):
         x = Conv(self.num_anchors * 4, kernel_size=3, use_bias=True,
                  kernel_init=normal_001, dtype=self.dtype)(x)
         b, h, w, _ = x.shape
-        return x.reshape(b, h, w, self.num_anchors, 4).astype(jnp.float32)
+        x = x.reshape(b, h, w, self.num_anchors, 4)
+        return x.astype(jnp.float32) if training else x

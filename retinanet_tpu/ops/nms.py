@@ -67,27 +67,65 @@ def decode_level(
     Anchor geometry is reconstructed arithmetically from the flat index, so
     nothing dense is gathered.  Semantics identical to
     ``regression_postprocess`` (reference ``utils.py:116-126``).
+
+    HBM discipline (the whole stage is bandwidth-bound; decode+NMS was
+    measured at 45 ms / 45 GB of the 265 ms b128@640 pipeline):
+
+    * bf16 logits with ≤128 classes take the **packed-key path**: the
+      dense volume is read exactly once by a max-reduction over an
+      integer packing ``(monotone16(logit) << 7) | (127 − class)`` that is
+      exactly representable in f32 (< 2²³) — one pass yields the best
+      logit AND its argmax class, with bit-exact argmax semantics
+      (lowest class index on ties).  No dense argmax, no [B,k,C] row
+      gather (TPU gathers measured 7-12 ms each at b128).
+    * otherwise (f32 inputs, wide-class configs) the volume is read once
+      by a max and the class comes from gathered top-k rows.
     """
     b, h, w, a = classifications.shape[:4]
-    logits = classifications.astype(jnp.float32)
-    best_logit = jnp.max(logits, axis=-1)                    # [B,H,W,A]
-    ids_map = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,H,W,A]
-
+    num_classes = classifications.shape[4]
     n = h * w * a
     k = min(top_k, n)
-    if approx and k < n:
-        # TPU PartialReduce top-k: returns ≥ recall_target of the true
-        # top-k (unsorted is fine — NMS re-sorts exactly downstream).
-        top_logits, top_idx = jax.lax.approx_max_k(
-            best_logit.reshape(b, -1), k, recall_target=approx_recall)
+
+    def select(flat_map: Array):
+        """Exact or TPU-PartialReduce approximate top-k of a [B, n] map
+        (unsorted is fine — NMS re-sorts exactly downstream)."""
+        if approx and k < n:
+            return jax.lax.approx_max_k(flat_map, k,
+                                        recall_target=approx_recall)
+        return jax.lax.top_k(flat_map, k)
+
+    packed_path = (classifications.dtype == jnp.bfloat16
+                   and num_classes <= 128)
+    if packed_path:
+        u = jax.lax.bitcast_convert_type(
+            classifications, jnp.uint16).astype(jnp.int32)
+        sign = u >> 15
+        # Monotone uint16 key: order(key) == order(bf16 value).
+        key = jnp.where(sign == 1, u ^ 0xFFFF, u | 0x8000)
+        cls_rank = 127 - jnp.arange(num_classes, dtype=jnp.int32)
+        packed = (key << 7) + cls_rank          # < 2^23: exact in f32
+        best = jnp.max(packed, axis=-1).astype(jnp.float32)
+        top_packed, top_idx = select(best.reshape(b, -1))
+        pk = top_packed.astype(jnp.int32)
+        ids = 127 - (pk & 127)
+        key_t = pk >> 7
+        u16 = jnp.where((key_t & 0x8000) != 0, key_t ^ 0x8000,
+                        key_t ^ 0xFFFF).astype(jnp.uint16)
+        top_logits = jax.lax.bitcast_convert_type(
+            u16, jnp.bfloat16).astype(jnp.float32)
     else:
-        top_logits, top_idx = jax.lax.top_k(best_logit.reshape(b, -1), k)
+        best_logit = jnp.max(classifications, axis=-1).astype(jnp.float32)
+        top_logits, top_idx = select(best_logit.reshape(b, -1))
+        # Class ids from the k gathered logit rows (k·C ≪ dense volume).
+        rows = jnp.take_along_axis(
+            classifications.reshape(b, n, num_classes),
+            top_idx[..., None], axis=1)                      # [B,k,C]
+        ids = jnp.argmax(rows, axis=-1).astype(jnp.int32)
     scores = jax.nn.sigmoid(top_logits)
 
     regr = jnp.take_along_axis(
-        regressions.astype(jnp.float32).reshape(b, n, 4),
-        top_idx[..., None], axis=1)                          # [B,k,4]
-    ids = jnp.take_along_axis(ids_map.reshape(b, n), top_idx, axis=1)
+        regressions.reshape(b, n, 4),
+        top_idx[..., None], axis=1).astype(jnp.float32)      # [B,k,4]
 
     # Flat index = (y·W + x)·A + a → anchor center/size without dense maps.
     ai = top_idx % a

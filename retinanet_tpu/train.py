@@ -452,8 +452,7 @@ class Trainer:
 
         if self._infer_fn is None:
             self._infer_fn = make_inference_fn(
-                self.model, self.levels, self.config,
-                use_pallas=jax.default_backend() == "tpu")
+                self.model, self.levels, self.config)
             self._classmap_fn = make_classmap_fn(
                 self.model, self.levels, self.config)
         n_draw = min(2, batch.images.shape[0])
@@ -476,6 +475,17 @@ class Trainer:
             return
         names = self.loader.class_names
         from retinanet_tpu.utils.draw import draw_classmap
+
+        def to_tb(tag, rgb):
+            # Also stream into TensorBoard (Image summary, PNG-encoded) —
+            # reference parity with tf.summary.image (train.py:168-187).
+            if self.writer is None:
+                return
+            ok, png = cv2.imencode(".png", (rgb[..., ::-1]))
+            if ok:
+                self.writer.add_image_png(tag, png.tobytes(),
+                                          rgb.shape[0], rgb.shape[1], step)
+
         for i in range(n_draw):
             if batch.images.dtype == np.uint8:  # device-normalized batches
                 img = batch.images[i].astype(np.float32) / 255.0
@@ -486,12 +496,14 @@ class Trainer:
                                      batch.class_ids[i][gt_valid], names)
             cv2.imwrite(os.path.join(out_dir, f"{i}_true.png"),
                         gt[..., ::-1])
+            to_tb(f"boxes/{i}_true", gt)
             pv = out.valid[i]
             pred = draw_bounding_boxes(img, out.boxes[i][pv],
                                        out.class_ids[i][pv], names,
                                        scores=out.scores[i][pv])
             cv2.imwrite(os.path.join(out_dir, f"{i}_pred.png"),
                         pred[..., ::-1])
+            to_tb(f"boxes/{i}_pred", pred)
             # Per-level classmap heat overlays (reference train.py:52-66,
             # 176-187 — the author's main visual diagnostic): count of
             # fg anchor-class slots per cell, GT vs predicted.
@@ -501,9 +513,11 @@ class Trainer:
                 cv2.imwrite(
                     os.path.join(out_dir, f"{i}_classmap_{pn}_true.png"),
                     heat_t[..., ::-1])
+                to_tb(f"classmap/{i}_{pn}_true", heat_t)
                 cv2.imwrite(
                     os.path.join(out_dir, f"{i}_classmap_{pn}_pred.png"),
                     heat_p[..., ::-1])
+                to_tb(f"classmap/{i}_{pn}_pred", heat_p)
 
     # -- training ----------------------------------------------------------
     def _device_batches(self, epoch: int):
@@ -633,6 +647,72 @@ def benchmark_train(config: Config, batch_size: int = 32, steps: int = 10,
         state, metrics = step_fn(state, images, *args)
     # device_get forces completion (block_until_ready is unreliable through
     # the remote-TPU tunnel; see infer.benchmark).
+    jax.device_get(metrics["total_loss"])
+    total = time.perf_counter() - t0
+    return {
+        "images_per_sec": batch_size * steps / total,
+        "step_ms": total / steps * 1e3,
+        "batch_size": batch_size,
+        "image_size": size,
+    }
+
+
+def benchmark_train_pipeline(config: Config, batch_size: int = 32,
+                             steps: int = 10, warmup: int = 2,
+                             num_classes: int = 80,
+                             num_images: Optional[int] = None
+                             ) -> Dict[str, float]:
+    """Train-step throughput with the LIVE host pipeline: in-memory shapes
+    dataset → threaded decode/pad → uint8 transfer, double-buffered against
+    the running step.  The synthetic-step bench (:func:`benchmark_train`)
+    feeds the same device batch every step and so never measures host/
+    transfer overlap; this is the end-to-end training number.
+
+    ``num_classes`` defaults to 80 so the compute matches the headline
+    bench (shapes only emits class ids 0-2; assignment is id-agnostic).
+    """
+    from retinanet_tpu.data.loaders.shapes import Shapes
+
+    levels = build_levels(config.anchors)
+    size = config.data.image_size
+    loader = Shapes(None, num_images or max(batch_size * 4, 64),
+                    (size, size))
+    model = RetinaNet.from_config(config.model, levels.num_anchors,
+                                  num_classes=num_classes)
+    data_cfg = dataclasses.replace(config.data, batch_size=batch_size)
+    pipeline = build_pipeline(loader, data_cfg,
+                              max_boxes=config.assign.max_boxes,
+                              training=True, seed=0)
+    state = create_train_state(model, config, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(model, levels, config,
+                                      with_metrics=False),
+                      donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    def batches():
+        epoch = 0
+        while True:
+            yield from pipeline.prefetched(epoch)
+            epoch += 1
+
+    def put(b: Batch):
+        return (jnp.asarray(b.images), jnp.asarray(b.boxes),
+                jnp.asarray(b.class_ids), jnp.asarray(b.box_mask))
+
+    gen = batches()
+    pending = put(next(gen))
+    metrics = None
+    for _ in range(warmup):
+        nxt = put(next(gen))  # issue next transfer before stepping
+        state, metrics = step_fn(state, *pending, rng)
+        pending = nxt
+    jax.device_get(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        nxt = put(next(gen))
+        state, metrics = step_fn(state, *pending, rng)
+        pending = nxt
     jax.device_get(metrics["total_loss"])
     total = time.perf_counter() - t0
     return {

@@ -45,15 +45,27 @@ def prob_histograms(class_targets: Array, class_probs: Array,
 
 
 class MetricsWriter:
-    """JSONL metrics sink with wall-clock and step stamping."""
+    """Metrics sink: JSONL (greppable) + native TensorBoard event files.
 
-    def __init__(self, experiment_dir: str, filename: str = "metrics.jsonl"):
+    Scalars land in both; ``*_hist`` arrays (the fixed-20-bin fg/bg prob
+    counts) become TensorBoard histograms (``utils.tb_events`` writes the
+    event-file format without a TF dependency — reference parity with
+    ``train.py:123,183-187``).
+    """
+
+    def __init__(self, experiment_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         os.makedirs(experiment_dir, exist_ok=True)
         self._path = os.path.join(experiment_dir, filename)
         self._file = open(self._path, "a")
+        self._tb = None
+        if tensorboard:
+            from retinanet_tpu.utils.tb_events import TBEventWriter
+            self._tb = TBEventWriter(experiment_dir)
 
     def write(self, step: int, metrics: Dict, prefix: Optional[str] = None):
         record = {"step": int(step), "time": time.time()}
+        scalars, hists = {}, {}
         for k, v in metrics.items():
             key = f"{prefix}/{k}" if prefix else k
             if isinstance(v, (jnp.ndarray, np.ndarray)):
@@ -61,8 +73,24 @@ class MetricsWriter:
                 record[key] = v.tolist() if v.ndim else float(v)
             else:
                 record[key] = v
+            if isinstance(record[key], float):
+                scalars[key] = record[key]
+            elif key.endswith("_hist") and np.ndim(record[key]) == 1:
+                hists[key] = np.asarray(record[key], np.float64)
         self._file.write(json.dumps(record) + "\n")
         self._file.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(scalars, step)
+            for key, counts in hists.items():
+                limits = np.linspace(1.0 / len(counts), 1.0, len(counts))
+                self._tb.add_histogram_counts(key, counts, limits, step)
+
+    def add_image_png(self, tag: str, png_bytes: bytes, height: int,
+                      width: int, step: int):
+        if self._tb is not None:
+            self._tb.add_image_png(tag, png_bytes, height, width, step)
 
     def close(self):
         self._file.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -211,3 +211,49 @@ def test_pallas_kernel_matches_fallback_interpret():
     )(*coords)
     got = np.asarray(keep.reshape(-1)[:n] > 0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_level_packed_bf16_matches_reference():
+    """The bf16 packed-key decode path (single fused max producing score +
+    class) is bit-exact against a numpy reference with argmax-lowest-index
+    tie semantics, including crafted exact-tie rows."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    b, h, w, a, c = 2, 4, 4, 2, 7
+    n = h * w * a
+    logits = rng.randn(b, h, w, a, c).astype(np.float32)
+    # Exact ties within a position (argmax must pick the LOWEST class) and
+    # across positions.
+    logits[0, 0, 0, 0, :] = 1.25       # all classes tied
+    logits[0, 1, 1, 0, 2:5] = 2.5      # classes 2,3,4 tied at the max
+    logits[1, 2, 2, 1, :] = -0.75
+    bf = jnp.asarray(logits, jnp.bfloat16)
+    regr = jnp.asarray(rng.randn(b, h, w, a, 4).astype(np.float32) * 0.1,
+                       jnp.bfloat16)
+    anchor_sizes = jnp.asarray([[0.2, 0.2], [0.3, 0.15]], jnp.float32)
+
+    from retinanet_tpu.ops.nms import decode_level
+    out = decode_level(bf, regr, anchor_sizes, top_k=n,
+                       score_threshold=0.0)  # k = n: every anchor selected
+
+    # Numpy reference on the f32 view of the SAME bf16 values.
+    f32 = np.asarray(bf, np.float32).reshape(b, n, c)
+    best = f32.max(-1)
+    ids_ref = f32.argmax(-1)  # lowest index on ties
+    scores_ref = 1.0 / (1.0 + np.exp(-best))
+
+    # Compare per anchor position (order-independent via top_idx-free
+    # full-selection: sort both by flat anchor index reconstructed from
+    # the decoded ids/scores pairing).
+    got_scores = np.asarray(out.scores)
+    got_ids = np.asarray(out.class_ids)
+    for i in range(b):
+        # Packed top_k orders by (logit desc, class asc, position asc):
+        # cross-position ties re-order by class rank — the documented
+        # (measure-zero) deviation vs plain stable-by-position.
+        order = np.lexsort((np.arange(n), ids_ref[i], -best[i]))
+        np.testing.assert_allclose(got_scores[i], scores_ref[i][order],
+                                   rtol=0, atol=1e-6)  # f32 vs f64 sigmoid
+        np.testing.assert_array_equal(got_ids[i], ids_ref[i][order])

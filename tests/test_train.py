@@ -394,3 +394,14 @@ def test_multiprocess_guards(tmp_path, monkeypatch):
     # guaranteed minimum (19 // 2) // 4 = 2 steps per epoch on EVERY process.
     trainer = Trainer(cfg, loader=Shapes(None, 19, (64, 64)))
     assert trainer._sync_steps_per_epoch == 2
+
+
+def test_benchmark_train_pipeline_runs(tmp_path):
+    """Live-pipeline train bench (host decode + uint8 transfer overlapped)
+    produces a sane throughput record on CPU."""
+    from retinanet_tpu.train import benchmark_train_pipeline
+    cfg = _tiny_config(tmp_path)
+    out = benchmark_train_pipeline(cfg, batch_size=2, steps=2, warmup=1,
+                                   num_classes=4, num_images=12)
+    assert out["images_per_sec"] > 0
+    assert out["batch_size"] == 2
