@@ -261,6 +261,14 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument(
+        "--workers", type=int, default=None,
+        help="host decode threads (default: min(cpu, 4), the reference's "
+             "num_parallel_calls; raise on many-core TPU-VM hosts)")
+    parser.add_argument(
+        "--augment-photometric", action="store_true",
+        help="random brightness/contrast/saturation jitter (host-side; "
+             "the reference stubs this out)")
+    parser.add_argument(
         "--buckets", type=str, nargs="+", default=None, metavar="HxW",
         help="rectangular canvas buckets, e.g. --buckets 640x640 640x448 "
              "448x640; each image goes to the least-padding bucket and "
@@ -293,8 +301,11 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("train.seed", args.seed),
         ("train.schedule", args.schedule),
         ("train.log_every", args.log_every),
+        ("data.augment_photometric", bool(args.augment_photometric)),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
+    if args.workers is not None:
+        cfg = _apply_dotted(cfg, "data.num_workers", args.workers)
     if args.class_loss is not None:
         cfg = _apply_dotted(cfg, "loss.class_losses", tuple(args.class_loss))
     if args.buckets is not None:

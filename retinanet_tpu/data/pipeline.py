@@ -71,6 +71,9 @@ def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
 
 
+_LUMA_601 = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R BT.601
+
+
 def photometric_jitter(image: np.ndarray, brightness: float, contrast: float,
                        saturation: float) -> np.ndarray:
     """Brightness/contrast/saturation jitter on a uint8 RGB image.
@@ -80,13 +83,17 @@ def photometric_jitter(image: np.ndarray, brightness: float, contrast: float,
     brightness/contrast calls); this makes it a real host-side capability.
     Factors are multiplicative (1.0 = identity).  Applied before resize so
     the fused native resize+normalize path still sees one uint8 input.
+
+    Formulations match torchvision's ColorJitter semantics: saturation
+    blends each pixel with its BT.601 grayscale value; contrast blends
+    with the mean of the grayscale image.
     """
     x = image.astype(np.float32)
     x = x * brightness
-    luma = x.mean()
-    x = (x - luma) * contrast + luma
-    gray = x.mean(axis=-1, keepdims=True)
-    x = gray + (x - gray) * saturation
+    gray = x @ _LUMA_601  # [H, W] per-pixel BT.601 luma
+    x = (x - gray.mean()) * contrast + gray.mean()
+    gray = x @ _LUMA_601  # recompute on the contrasted image
+    x = gray[..., None] + (x - gray[..., None]) * saturation
     return np.clip(x, 0, 255).astype(np.uint8)
 
 
