@@ -65,7 +65,6 @@ def main(argv=None):
     # programs).  Companion metric to the throughput headline
     # (BASELINE.md "p50 latency tracked").
     try:
-        from retinanet_tpu.config import NMSConfig  # noqa: F401
         lat_cfg = dataclasses.replace(
             config, nms=dataclasses.replace(
                 config.nms, top_k_per_level=200, pre_nms_top_k=400))

@@ -25,7 +25,11 @@ class COCO(Base):
     kept and every sample carries ``iscrowd`` and ``areas`` arrays so the
     COCO eval protocol can treat crowds as ignore regions and use the
     annotation's segmentation ``area`` (what COCOeval's area-range ignores
-    actually read) instead of the bbox area."""
+    actually read) instead of the bbox area.  Eval mode also yields
+    annotation-free images (empty arrays): pycocotools evaluates every
+    image in ``ann['images']``, and detections on empty images must count
+    as false positives — skipping them (the training behaviour) would
+    inflate mAP."""
 
     def __init__(self, ann_path: str, dataset_path: str,
                  include_crowds: bool = False):
@@ -50,9 +54,18 @@ class COCO(Base):
     def class_names(self) -> List[str]:
         return list(self._class_names)
 
+    def _image_has_valid_box(self, image_id: int) -> bool:
+        return any(a["bbox"][2] >= 1 and a["bbox"][3] >= 1
+                   for a in self._anns_by_image.get(image_id, []))
+
     def __len__(self) -> int:
+        # Must agree exactly with __iter__ (a mismatch desynchronizes the
+        # multi-host per-epoch step cap): images whose only annotations are
+        # degenerate (sub-pixel) boxes are skipped by iteration too.
+        if self._include_crowds:
+            return len(self._images)
         return sum(1 for im in self._images
-                   if self._anns_by_image.get(im["id"]))
+                   if self._image_has_valid_box(im["id"]))
 
     def __iter__(self) -> Iterator[Dict]:
         for image in self._images:
@@ -66,7 +79,7 @@ class COCO(Base):
                 class_ids.append(self._cat_index[a["category_id"]])
                 iscrowd.append(bool(a.get("iscrowd", 0)))
                 areas.append(float(a.get("area", width * height)))
-            if not boxes:
+            if not boxes and not self._include_crowds:
                 continue  # reference skips images without boxes coco.py:55
             sample = {
                 "image_file": os.path.join(self._dataset_path,

@@ -21,6 +21,8 @@ class Inferred(Base):
         """``include_crowds`` is the COCO evaluation mode (crowd GTs kept as
         ignore regions with ``iscrowd``/``areas`` arrays); loaders without a
         crowd concept ignore it."""
+        self._allow_empty = include_crowds  # eval mode: empty images are
+        # legitimate FP sources (pycocotools evaluates every image)
         if type == "coco":
             from retinanet_tpu.data.loaders.coco import COCO
             self._dl = COCO(*args, include_crowds=include_crowds)
@@ -44,8 +46,8 @@ class Inferred(Base):
     def __iter__(self) -> Iterator[Dict]:
         for x in self._dl:
             # Reference inferred.py:30-32 asserts; raise with context instead.
-            if x["boxes"].shape[0] == 0 or \
-                    x["boxes"].shape[0] != x["class_ids"].shape[0]:
+            if x["boxes"].shape[0] != x["class_ids"].shape[0] or \
+                    (x["boxes"].shape[0] == 0 and not self._allow_empty):
                 raise ValueError(f"sample has invalid box/class counts: {x}")
             tl, br = np.split(x["boxes"], 2, -1)
             if not np.all(tl < br):

@@ -86,14 +86,15 @@ def photometric_jitter(image: np.ndarray, brightness: float, contrast: float,
 
     Formulations match torchvision's ColorJitter semantics: saturation
     blends each pixel with its BT.601 grayscale value; contrast blends
-    with the mean of the grayscale image.
+    with the mean of the grayscale image; each op clamps to [0, 255]
+    before the next (torchvision's per-op uint8 saturation).
     """
-    x = image.astype(np.float32)
-    x = x * brightness
+    x = np.clip(image.astype(np.float32) * brightness, 0, 255)
     gray = x @ _LUMA_601  # [H, W] per-pixel BT.601 luma
-    x = (x - gray.mean()) * contrast + gray.mean()
-    gray = x @ _LUMA_601  # recompute on the contrasted image
-    x = gray[..., None] + (x - gray[..., None]) * saturation
+    mean_gray = gray.mean()
+    x = np.clip((x - mean_gray) * contrast + mean_gray, 0, 255)
+    gray = (x @ _LUMA_601)[..., None]  # recompute on the contrasted image
+    x = gray + (x - gray) * saturation
     return np.clip(x, 0, 255).astype(np.uint8)
 
 
@@ -101,6 +102,22 @@ def _canvas_hw(image_size) -> Tuple[int, int]:
     if isinstance(image_size, (tuple, list)):
         return int(image_size[0]), int(image_size[1])
     return int(image_size), int(image_size)
+
+
+def select_canvas(sample: Dict, config: DataConfig):
+    """(possibly-updated sample, canvas (h, w)) for one sample: the square
+    ``image_size`` canvas, or the least-padding bucket (decoding the image
+    once and caching it on the sample).  The single source of bucket
+    geometry for BOTH the training pipeline and ``evaluate_model`` — the
+    two must agree or eval runs under different padding than training."""
+    if not config.buckets:
+        return sample, _canvas_hw(config.image_size)
+    image = sample.get("image")
+    if image is None:
+        image = _imread(sample["image_file"])
+        sample = {**sample, "image": image}
+    return sample, pick_bucket(image.shape[0], image.shape[1],
+                               config.buckets)
 
 
 def pick_bucket(ih: int, iw: int, buckets) -> Tuple[int, int]:
@@ -237,14 +254,7 @@ class Pipeline:
 
         def prepare(item):
             index, sample, flip, photometric = item
-            canvas = cfg.image_size
-            if cfg.buckets:
-                image = sample.get("image")
-                if image is None:
-                    image = _imread(sample["image_file"])
-                    sample = {**sample, "image": image}
-                canvas = pick_bucket(image.shape[0], image.shape[1],
-                                     cfg.buckets)
+            sample, canvas = select_canvas(sample, cfg)
             out = process_sample(
                 sample, canvas, self._mean, self._std, self.max_boxes,
                 flip, photometric=photometric,

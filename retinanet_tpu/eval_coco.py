@@ -25,6 +25,9 @@ Self-contained numpy implementation of the COCO detection metric protocol
     ``cocoeval.py evaluateImg`` iscrowd branches
   * area-range ignores read the annotation ``area`` (segmentation area on
     real COCO) when provided, falling back to bbox area
+  * annotation-free images participate (the eval-mode COCO loader yields
+    them with empty GT arrays): detections on them are false positives,
+    exactly as pycocotools scores every image in ``ann['images']``
 
 Validated two ways: hand-derived traces of the pycocotools algorithm
 (``tests/test_eval.py``) and an *independent* cocoeval.py transliteration
@@ -56,14 +59,10 @@ AREA_RANGES = {
 }
 
 
-def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[N,4] × [M,4] (t,l,b,r) → [N,M] IoU.
-
-    float64 throughout: pycocotools computes IoU in double, and float32
-    rounding at an exact-threshold IoU (e.g. 0.6) flips matches.
-    """
-    if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)))
+def _intersection_and_areas(a: np.ndarray, b: np.ndarray):
+    """Shared geometry for IoU/IoF: ([N,M] intersection, [N] area_a,
+    [M] area_b) in float64 (pycocotools computes in double; float32
+    rounding at an exact-threshold IoU, e.g. 0.6, flips matches)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     t = np.maximum(a[:, None, 0], b[None, :, 0])
@@ -73,6 +72,14 @@ def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     inter = np.clip(bb - t, 0, None) * np.clip(r - l, 0, None)
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter, area_a, area_b
+
+
+def _box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N,4] × [M,4] (t,l,b,r) → [N,M] IoU (float64)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    inter, area_a, area_b = _intersection_and_areas(a, b)
     union = area_a[:, None] + area_b[None, :] - inter
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
@@ -83,14 +90,7 @@ def _box_iof_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ``iscrowd=1``)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)))
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
-    t = np.maximum(a[:, None, 0], b[None, :, 0])
-    l = np.maximum(a[:, None, 1], b[None, :, 1])
-    bb = np.minimum(a[:, None, 2], b[None, :, 2])
-    r = np.minimum(a[:, None, 3], b[None, :, 3])
-    inter = np.clip(bb - t, 0, None) * np.clip(r - l, 0, None)
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    inter, area_a, _ = _intersection_and_areas(a, b)
     return np.where(area_a[:, None] > 0,
                     inter / np.maximum(area_a[:, None], 1e-12), 0.0)
 
@@ -133,11 +133,17 @@ def _match_image(det_boxes: np.ndarray, det_scores: np.ndarray,
     gt_boxes = gt_boxes[gt_order]
     gt_ignore, gt_crowd = gt_ignore[gt_order], gt_crowd[gt_order]
 
-    iou = _box_iou_matrix(det_boxes, gt_boxes)
-    if gt_crowd.any():
-        # Crowd columns use intersection-over-detection-area.
-        iof = _box_iof_matrix(det_boxes, gt_boxes)
-        iou = np.where(gt_crowd[None, :], iof, iou)
+    if len(det_boxes) and len(gt_boxes):
+        inter, area_d, area_g = _intersection_and_areas(det_boxes, gt_boxes)
+        union = area_d[:, None] + area_g[None, :] - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        if gt_crowd.any():
+            # Crowd columns use intersection-over-detection-area.
+            iof = np.where(area_d[:, None] > 0,
+                           inter / np.maximum(area_d[:, None], 1e-12), 0.0)
+            iou = np.where(gt_crowd[None, :], iof, iou)
+    else:
+        iou = np.zeros((len(det_boxes), len(gt_boxes)))
     gt_used = np.zeros(len(gt_boxes), bool)
     tp = np.zeros(len(det_boxes), bool)
     det_ig = np.zeros(len(det_boxes), bool)
@@ -360,8 +366,7 @@ def evaluate_model(detector, loader, config, max_images: int = None,
     """
     import dataclasses
 
-    from retinanet_tpu.data.pipeline import (
-        _imread, pick_bucket, process_sample)
+    from retinanet_tpu.data.pipeline import process_sample, select_canvas
 
     data_cfg = dataclasses.replace(config.data, augment_flip=False,
                                    augment_photometric=False)
@@ -389,22 +394,10 @@ def evaluate_model(detector, loader, config, max_images: int = None,
                 det = {k: v[keep] for k, v in det.items()}
             evaluator.add(det, gt)
 
-    def canvas_tuple(image_size):
-        if isinstance(image_size, (tuple, list)):
-            return (int(image_size[0]), int(image_size[1]))
-        return (int(image_size), int(image_size))
-
     for i, sample in enumerate(loader):
         if max_images is not None and i >= max_images:
             break
-        canvas = canvas_tuple(data_cfg.image_size)
-        if data_cfg.buckets:
-            image = sample.get("image")
-            if image is None:
-                image = _imread(sample["image_file"])
-                sample = {**sample, "image": image}
-            canvas = pick_bucket(image.shape[0], image.shape[1],
-                                 data_cfg.buckets)
+        sample, canvas = select_canvas(sample, data_cfg)
         out = process_sample(sample, canvas, mean, std,
                              max_boxes=config.assign.max_boxes, flip=False)
         images, scales, gts = pending.setdefault(canvas, ([], [], []))

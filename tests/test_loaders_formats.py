@@ -158,3 +158,67 @@ def test_coco_end_to_end_train_and_eval(tmp_path):
     metrics = evaluate_model(det, trainer.loader, cfg)
     assert np.isfinite(metrics["mAP"]) or metrics["mAP"] == 0.0
     assert "AR@100" in metrics
+
+
+def test_coco_len_matches_iteration_with_degenerate_only_images(tmp_path):
+    """__len__ must agree exactly with __iter__ (the multi-host per-epoch
+    step cap divides len(loader); a mismatch deadlocks a process): images
+    whose only annotations are sub-pixel boxes are skipped by BOTH."""
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 50, "height": 50},
+                   {"id": 2, "file_name": "b.jpg", "width": 50, "height": 50}],
+        "categories": [{"id": 1, "name": "x"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [1, 1, 0.5, 10], "iscrowd": 0},  # degenerate only
+            {"id": 2, "image_id": 2, "category_id": 1,
+             "bbox": [5, 5, 10, 10], "iscrowd": 0},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    dl = COCO(str(p), str(tmp_path))
+    assert len(dl) == len(list(dl)) == 1
+
+
+def test_coco_eval_mode_yields_empty_images(tmp_path):
+    """include_crowds (eval) mode yields annotation-free images with empty
+    arrays — pycocotools evaluates every image, and detections on empty
+    images must count as FPs.  Training mode still skips them."""
+    from retinanet_tpu.data.loaders.inferred import Inferred
+
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 50, "height": 50},
+                   {"id": 2, "file_name": "b.jpg", "width": 50, "height": 50}],
+        "categories": [{"id": 1, "name": "x"}],
+        "annotations": [
+            {"id": 1, "image_id": 2, "category_id": 1,
+             "bbox": [5, 5, 10, 10], "iscrowd": 0},
+        ],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    train_dl = Inferred("coco", [str(p), str(tmp_path)])
+    assert len(list(train_dl)) == 1
+    eval_dl = Inferred("coco", [str(p), str(tmp_path)], include_crowds=True)
+    samples = list(eval_dl)
+    assert len(samples) == len(eval_dl) == 2
+    empty = [s for s in samples if s["boxes"].shape[0] == 0][0]
+    assert empty["iscrowd"].shape == (0,) and empty["areas"].shape == (0,)
+
+    # Empty-image FPs lower mAP: one perfect TP image + one empty image
+    # with a detection → precision < 1 at the FP's score.
+    from retinanet_tpu.eval_coco import COCOEvaluator
+    ev = COCOEvaluator(1)
+    ev.add({"boxes": np.array([[5, 5, 15, 15]], np.float32),
+            "scores": np.array([0.9], np.float32),
+            "class_ids": np.array([0])},
+           {"boxes": np.array([[5, 5, 15, 15]], np.float32),
+            "class_ids": np.array([0])})
+    ev.add({"boxes": np.array([[1, 1, 9, 9]], np.float32),
+            "scores": np.array([0.95], np.float32),  # FP ranked first
+            "class_ids": np.array([0])},
+           {"boxes": np.zeros((0, 4), np.float32),
+            "class_ids": np.zeros((0,), int)})
+    out = ev.summarize()
+    assert 0 < out["mAP"] < 1.0
