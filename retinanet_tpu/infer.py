@@ -39,6 +39,7 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
     nms_cfg = config.nms
 
     def infer(params, images: Array) -> BoxesDecoded:
+        from retinanet_tpu.ops.nms import fused_decode_nms
         from retinanet_tpu.ops.preprocess import maybe_normalize
         up = use_pallas
         if up is None:
@@ -47,12 +48,11 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
         out = model.apply({"params": params}, images, training=False)
         # Canvas dims from the batch itself: rectangular-bucket batches
         # decode correctly through the same jitted fn (one program/shape).
-        decoded = decode_levels(out["classifications"], out["regressions"],
-                                levels, images.shape[1:3], nms_cfg)
-        return nms_padded(decoded, iou_threshold=nms_cfg.iou_threshold,
-                          max_output_size=nms_cfg.max_output_size,
-                          classwise=True, use_pallas=up,
-                          pre_nms_top_k=nms_cfg.pre_nms_top_k)
+        # fused_decode_nms defers the box gathers past the pre-NMS
+        # selection (equality-tested against decode_levels + nms_padded).
+        return fused_decode_nms(out["classifications"], out["regressions"],
+                                levels, images.shape[1:3], nms_cfg,
+                                use_pallas=up)
 
     return jax.jit(infer)
 

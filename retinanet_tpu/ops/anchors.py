@@ -105,6 +105,28 @@ class Levels:
         return (self[level_name].anchor_sizes / hw).astype(np.float32)
 
 
+def flat_anchor_maps(levels: Levels, image_size) -> np.ndarray:
+    """[N_total, 4] (cy, cx, h, w) of every anchor across all levels,
+    canvas-relative, concatenated in **sorted level-name order** — the
+    canonical flat candidate space shared by ``utils.pytree.flatten_levels``
+    and the decode paths.  Pure numpy (callable inside a jit trace).
+    """
+    maps = {}
+    for pn in levels:
+        gh, gw = levels.grid_hw(pn, image_size)
+        gy = (np.arange(gh, dtype=np.float32) + 0.5) / gh
+        gx = (np.arange(gw, dtype=np.float32) + 0.5) / gw
+        grid = np.stack(np.meshgrid(gy, gx, indexing="ij"),
+                        axis=-1)[:, :, None, :]
+        sizes = levels.normalized_anchor_sizes(pn, image_size)
+        a = sizes.shape[0]
+        pos = np.broadcast_to(grid, (gh, gw, a, 2))
+        size = np.broadcast_to(sizes[None, None], (gh, gw, a, 2))
+        maps[pn] = np.concatenate([pos, size], -1).astype(np.float32)
+    return np.concatenate([maps[pn].reshape(-1, 4) for pn in sorted(maps)],
+                          axis=0)
+
+
 def build_levels(config: AnchorConfig = AnchorConfig()) -> Levels:
     """Reference ``levels.py:55-59``: default 3 ARs × 3 scales = 9 anchors."""
     return Levels(config)

@@ -48,6 +48,55 @@ def classmap_decode(classmap: Array, threshold: float = 0.5) -> Array:
     return jnp.max(classmap, axis=-1) > threshold
 
 
+def _select_level_candidates(classifications: Array, top_k: int,
+                             approx: bool, approx_recall: float):
+    """(scores [B,k], class_ids [B,k], flat_idx [B,k]) of one level's top-k
+    candidates — the single dense pass shared by :func:`decode_level` and
+    :func:`fused_decode_nms` (see decode_level's docstring for the
+    packed-key design)."""
+    b, h, w, a = classifications.shape[:4]
+    num_classes = classifications.shape[4]
+    n = h * w * a
+    k = min(top_k, n)
+
+    def select(flat_map: Array):
+        # Exact or TPU-PartialReduce approximate top-k of a [B, n] map
+        # (unsorted is fine — NMS re-sorts exactly downstream).
+        if approx and k < n:
+            return jax.lax.approx_max_k(flat_map, k,
+                                        recall_target=approx_recall)
+        return jax.lax.top_k(flat_map, k)
+
+    packed_path = (classifications.dtype == jnp.bfloat16
+                   and num_classes <= 128)
+    if packed_path:
+        u = jax.lax.bitcast_convert_type(
+            classifications, jnp.uint16).astype(jnp.int32)
+        sign = u >> 15
+        # Monotone uint16 key: order(key) == order(bf16 value).
+        key = jnp.where(sign == 1, u ^ 0xFFFF, u | 0x8000)
+        cls_rank = 127 - jnp.arange(num_classes, dtype=jnp.int32)
+        packed = (key << 7) + cls_rank          # < 2^23: exact in f32
+        best = jnp.max(packed, axis=-1).astype(jnp.float32)
+        top_packed, top_idx = select(best.reshape(b, -1))
+        pk = top_packed.astype(jnp.int32)
+        ids = 127 - (pk & 127)
+        key_t = pk >> 7
+        u16 = jnp.where((key_t & 0x8000) != 0, key_t ^ 0x8000,
+                        key_t ^ 0xFFFF).astype(jnp.uint16)
+        top_logits = jax.lax.bitcast_convert_type(
+            u16, jnp.bfloat16).astype(jnp.float32)
+    else:
+        best_logit = jnp.max(classifications, axis=-1).astype(jnp.float32)
+        top_logits, top_idx = select(best_logit.reshape(b, -1))
+        # Class ids from the k gathered logit rows (k·C ≪ dense volume).
+        rows = jnp.take_along_axis(
+            classifications.reshape(b, n, num_classes),
+            top_idx[..., None], axis=1)                      # [B,k,C]
+        ids = jnp.argmax(rows, axis=-1).astype(jnp.int32)
+    return jax.nn.sigmoid(top_logits), ids, top_idx
+
+
 def decode_level(
     classifications: Array,  # [B, H, W, A, C] logits
     regressions: Array,      # [B, H, W, A, 4]
@@ -82,46 +131,9 @@ def decode_level(
       by a max and the class comes from gathered top-k rows.
     """
     b, h, w, a = classifications.shape[:4]
-    num_classes = classifications.shape[4]
     n = h * w * a
-    k = min(top_k, n)
-
-    def select(flat_map: Array):
-        """Exact or TPU-PartialReduce approximate top-k of a [B, n] map
-        (unsorted is fine — NMS re-sorts exactly downstream)."""
-        if approx and k < n:
-            return jax.lax.approx_max_k(flat_map, k,
-                                        recall_target=approx_recall)
-        return jax.lax.top_k(flat_map, k)
-
-    packed_path = (classifications.dtype == jnp.bfloat16
-                   and num_classes <= 128)
-    if packed_path:
-        u = jax.lax.bitcast_convert_type(
-            classifications, jnp.uint16).astype(jnp.int32)
-        sign = u >> 15
-        # Monotone uint16 key: order(key) == order(bf16 value).
-        key = jnp.where(sign == 1, u ^ 0xFFFF, u | 0x8000)
-        cls_rank = 127 - jnp.arange(num_classes, dtype=jnp.int32)
-        packed = (key << 7) + cls_rank          # < 2^23: exact in f32
-        best = jnp.max(packed, axis=-1).astype(jnp.float32)
-        top_packed, top_idx = select(best.reshape(b, -1))
-        pk = top_packed.astype(jnp.int32)
-        ids = 127 - (pk & 127)
-        key_t = pk >> 7
-        u16 = jnp.where((key_t & 0x8000) != 0, key_t ^ 0x8000,
-                        key_t ^ 0xFFFF).astype(jnp.uint16)
-        top_logits = jax.lax.bitcast_convert_type(
-            u16, jnp.bfloat16).astype(jnp.float32)
-    else:
-        best_logit = jnp.max(classifications, axis=-1).astype(jnp.float32)
-        top_logits, top_idx = select(best_logit.reshape(b, -1))
-        # Class ids from the k gathered logit rows (k·C ≪ dense volume).
-        rows = jnp.take_along_axis(
-            classifications.reshape(b, n, num_classes),
-            top_idx[..., None], axis=1)                      # [B,k,C]
-        ids = jnp.argmax(rows, axis=-1).astype(jnp.int32)
-    scores = jax.nn.sigmoid(top_logits)
+    scores, ids, top_idx = _select_level_candidates(
+        classifications, top_k, approx, approx_recall)
 
     regr = jnp.take_along_axis(
         regressions.reshape(b, n, 4),
@@ -244,3 +256,106 @@ def nms_padded(
         )
 
     return jax.vmap(select_one)(boxes_s, scores_s, ids_s, keep)
+
+
+def fused_decode_nms(
+    classifications: Dict[str, Array],
+    regressions: Dict[str, Array],
+    levels: Levels,
+    image_size,
+    cfg: NMSConfig = NMSConfig(),
+    use_pallas: bool = False,
+) -> BoxesDecoded:
+    """Decode + classwise NMS with the box work deferred past the pre-NMS
+    selection — the serving hot path.
+
+    ``decode_levels`` + ``nms_padded`` (the semantic reference, kept for
+    tests and generality) gather regressions and decode boxes for ALL
+    ``top_k_per_level × num_levels`` candidates (5000 at defaults), then
+    re-gather the boxes when NMS sorts down to ``pre_nms_top_k`` (1000).
+    TPU gathers dominate the decode cost (NOTES round 3: 4.7 ms for the
+    5000-row regression gather alone at b128), so here:
+
+      1. per-level candidate selection produces only (score, class, flat
+         index) — no boxes;
+      2. the global pre-NMS top-k runs on the merged scores (invalid →
+         −1, exactly ``nms_padded``'s ordering);
+      3. regressions are gathered ONCE for the k survivors from the
+         level-concatenated [B, N, 4] map, and anchor geometry comes from
+         a host-precomputed [N, 4] table (``flat_anchor_maps``) — 5× fewer
+         gathered rows and no boxes-re-sort gather;
+      4. suppression + final selection are shared with ``nms_padded``.
+
+    Bit-equivalent to the reference path (equality-tested) apart from
+    score ties straddling the pre-NMS boundary (both paths break such
+    ties by merged candidate position; identical there too).
+    """
+    names = sorted(classifications.keys())
+    parts = [_select_level_candidates(classifications[pn],
+                                      cfg.top_k_per_level,
+                                      cfg.use_approx_top_k,
+                                      cfg.approx_top_k_recall)
+             for pn in names]
+    scores = jnp.concatenate([p[0] for p in parts], axis=1)   # [B, K]
+    ids = jnp.concatenate([p[1] for p in parts], axis=1)
+
+    # Candidate index into the canonical level-concatenated flat anchor
+    # space (static per-level offsets).
+    offsets = []
+    off = 0
+    for pn in names:
+        gh, gw = levels.grid_hw(pn, image_size)
+        offsets.append(off)
+        off += gh * gw * levels.num_anchors
+    gidx = jnp.concatenate(
+        [p[2] + o for p, o in zip(parts, offsets)], axis=1)   # [B, K]
+
+    b = scores.shape[0]
+    valid = scores > cfg.score_threshold
+    masked = jnp.where(valid, scores, -1.0)
+    k_in = min(cfg.pre_nms_top_k, masked.shape[1])
+    top_scores, order = jax.lax.top_k(masked, k_in)           # [B, k]
+    ids_s = jnp.take_along_axis(ids, order, axis=1)
+    gidx_s = jnp.take_along_axis(gidx, order, axis=1)
+    valid_s = top_scores > 0
+
+    # One [B, k, 4] gather of the surviving regressions + a small-table
+    # anchor lookup; then the same decode math as decode_level.
+    regr_all = jnp.concatenate(
+        [regressions[pn].reshape(b, -1, 4) for pn in names], axis=1)
+    regr = jnp.take_along_axis(regr_all, gidx_s[..., None],
+                               axis=1).astype(jnp.float32)
+    from retinanet_tpu.ops.anchors import flat_anchor_maps
+    table = jnp.asarray(flat_anchor_maps(levels, image_size))  # [N, 4]
+    anchors = table[gidx_s]                                    # [B, k, 4]
+    a_pos, a_size = jnp.split(anchors, 2, axis=-1)
+    shift, log_scale = jnp.split(regr, 2, axis=-1)
+    center = shift * a_size + a_pos
+    size = jnp.exp(log_scale) * a_size
+    boxes_s = box_ops.from_center_box(
+        jnp.concatenate([center, size], axis=-1))
+
+    shifted = boxes_s + (ids_s[..., None] * 4.0).astype(boxes_s.dtype)
+    shifted = jnp.where(valid_s[..., None], shifted, shifted - 1e4)
+
+    if use_pallas:
+        from retinanet_tpu.ops.pallas.nms_kernel import nms_keep_mask_batch
+        keep = nms_keep_mask_batch(shifted, cfg.iou_threshold)
+    else:
+        keep = jax.vmap(
+            lambda bx, s: _greedy_keep_mask(bx, s, cfg.iou_threshold))(
+                shifted, top_scores)
+    keep = keep & valid_s
+
+    def select_one(boxes, scores, ids, keep):
+        out_scores = jnp.where(keep, scores, -1.0)
+        k = min(cfg.max_output_size, out_scores.shape[0])
+        sel_scores, sel_idx = jax.lax.top_k(out_scores, k)
+        return BoxesDecoded(
+            boxes=boxes[sel_idx],
+            scores=jnp.where(sel_scores > 0, sel_scores, 0.0),
+            class_ids=ids[sel_idx],
+            valid=sel_scores > 0,
+        )
+
+    return jax.vmap(select_one)(boxes_s, top_scores, ids_s, keep)

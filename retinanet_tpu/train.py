@@ -111,26 +111,9 @@ def _decoded_box_iou(regr_targets: Array, regr_logits: Array,
     return jnp.sum(iou * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def _flat_anchor_maps(levels: Levels, image_size) -> np.ndarray:
-    """[N_total, 4] (cy, cx, h, w) of every anchor across all levels, in the
-    canonical flatten_levels order.  ``image_size``: int or (h, w)."""
-    maps = {}
-    for pn in levels:
-        gh, gw = levels.grid_hw(pn, image_size)
-        # Pure numpy (this may run inside a jit trace, where jnp-based
-        # helpers would produce tracers): cell centers at (i + 0.5) / n.
-        gy = (np.arange(gh, dtype=np.float32) + 0.5) / gh
-        gx = (np.arange(gw, dtype=np.float32) + 0.5) / gw
-        grid = np.stack(np.meshgrid(gy, gx, indexing="ij"),
-                        axis=-1)[:, :, None, :]
-        sizes = levels.normalized_anchor_sizes(pn, image_size)
-        a = sizes.shape[0]
-        pos = np.broadcast_to(grid, (gh, gw, a, 2))
-        size = np.broadcast_to(sizes[None, None], (gh, gw, a, 2))
-        maps[pn] = np.concatenate([pos, size], -1).astype(np.float32)
-    flat = np.concatenate([maps[pn].reshape(-1, 4) for pn in sorted(maps)],
-                          axis=0)
-    return flat
+# Canonical flat anchor table lives in ops/anchors.py; alias kept for the
+# in-step metrics code below.
+from retinanet_tpu.ops.anchors import flat_anchor_maps as _flat_anchor_maps
 
 
 def make_train_step(model: RetinaNet, levels: Levels, config: Config,

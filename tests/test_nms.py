@@ -257,3 +257,41 @@ def test_decode_level_packed_bf16_matches_reference():
         np.testing.assert_allclose(got_scores[i], scores_ref[i][order],
                                    rtol=0, atol=1e-6)  # f32 vs f64 sigmoid
         np.testing.assert_array_equal(got_ids[i], ids_ref[i][order])
+
+
+def test_fused_decode_nms_matches_reference_path():
+    """fused_decode_nms (serving hot path: box work deferred past the
+    pre-NMS selection) is equivalent to decode_levels + nms_padded on
+    random logits, in f32 and bf16, including pre-NMS truncation."""
+    from retinanet_tpu.ops.nms import fused_decode_nms
+
+    levels = build_levels()
+    size = 128
+    rng = np.random.RandomState(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        cls, regr = {}, {}
+        for pn in levels:
+            g = levels.grid_size(pn, size)
+            cls[pn] = jnp.asarray(
+                rng.randn(2, g, g, 9, 5).astype(np.float32) * 2, dtype)
+            regr[pn] = jnp.asarray(
+                rng.randn(2, g, g, 9, 4).astype(np.float32) * 0.1, dtype)
+        cfg = NMSConfig(top_k_per_level=50, pre_nms_top_k=60,
+                        max_output_size=40, score_threshold=0.3,
+                        use_pallas=False)
+        ref = nms_padded(decode_levels(cls, regr, levels, size, cfg),
+                         iou_threshold=cfg.iou_threshold,
+                         max_output_size=cfg.max_output_size,
+                         classwise=True, use_pallas=False,
+                         pre_nms_top_k=cfg.pre_nms_top_k)
+        got = fused_decode_nms(cls, regr, levels, size, cfg,
+                               use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))
+        np.testing.assert_array_equal(np.asarray(got.class_ids),
+                                      np.asarray(ref.class_ids))
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(ref.scores), atol=1e-6)
+        v = np.asarray(ref.valid)
+        np.testing.assert_allclose(np.asarray(got.boxes)[v],
+                                   np.asarray(ref.boxes)[v], atol=1e-5)
