@@ -351,6 +351,54 @@ def int8dot():
               flush=True)
 
 
+def supp(batch=128, size=640):
+    """In-model A/B of the NMS suppression algorithm (sequential fori_loop
+    vs Jacobi fixed-point sweeps) at the bench serving config."""
+    from retinanet_tpu.infer import make_inference_fn
+    for name, over in (
+        ("sequential", dict(use_approx_top_k=True,
+                            suppression="sequential")),
+        ("jacobi", dict(use_approx_top_k=True, suppression="jacobi")),
+    ):
+        config, levels, model, params, images = _flagship(batch, size,
+                                                          **over)
+        fn = make_inference_fn(model, levels, config)
+        t = timeit(fn, params, images)
+        print(f"{name:12s} b{batch}: {t*1e3:8.2f} ms  "
+              f"{batch/t:7.1f} img/s", flush=True)
+
+
+def supp2(batch=128, size=640):
+    """Follow-up to `supp`: approx GLOBAL pre-NMS top-k at the serving
+    config (sequential suppression), and b1/b8 latency-caps p50 with
+    jacobi suppression (small-N regime where the matvec trade may
+    reverse)."""
+    from retinanet_tpu.infer import benchmark, make_inference_fn
+    from retinanet_tpu.config import Config
+    config, levels, model, params, images = _flagship(
+        batch, size, use_approx_top_k=True,
+        use_approx_global_top_k=True)
+    fn = make_inference_fn(model, levels, config)
+    t = timeit(fn, params, images)
+    print(f"seq+approx_global b{batch}: {t*1e3:8.2f} ms  "
+          f"{batch/t:7.1f} img/s", flush=True)
+    base = Config()
+    for bs in (1, 8):
+        cfg = dataclasses.replace(
+            base,
+            model=dataclasses.replace(base.model,
+                                      backbone="resnet_50_dense"),
+            nms=dataclasses.replace(base.nms, top_k_per_level=200,
+                                    pre_nms_top_k=400,
+                                    use_approx_top_k=True,
+                                    suppression="jacobi"))
+        r = benchmark(cfg, batch_size=bs, steps=20, warmup=3,
+                      num_classes=80)
+        print(f"lat_caps_approx_jacobi b{bs}: "
+              f"p50 {r['p50_latency_ms']:.1f} ms  "
+              f"p99 {r['p99_latency_ms']:.1f} ms", flush=True)
+
+
 def latency():
     """Serving-latency sweep: b1/b8 p50 across NMS cap configs."""
     from retinanet_tpu.infer import benchmark
@@ -383,4 +431,5 @@ if __name__ == "__main__":
     print("backend:", jax.default_backend())
     args = [int(a) for a in sys.argv[2:]]
     dict(stages=stages, cost=cost, trace=trace, approx=approx, s2d=s2d,
-         latency=latency, nmsprof=nmsprof, int8dot=int8dot)[part](*args)
+         latency=latency, nmsprof=nmsprof, int8dot=int8dot,
+         supp=supp, supp2=supp2)[part](*args)

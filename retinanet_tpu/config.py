@@ -185,6 +185,16 @@ class NMSConfig:
     # are bit-exact greedy NMS; the kernel stays available for
     # configurations where it wins again.
     use_pallas: bool = False
+    # Suppression algorithm (both bit-exact greedy NMS).  "jacobi" replaces
+    # the N-iteration fori_loop with fixed-point sweeps (one [B,N]×[B,N,N]
+    # masked matvec per sweep, sweep count = longest suppression chain) —
+    # but measured IN-MODEL it loses at the serving config (b128@640:
+    # 533.4 vs 542.0 img/s; the per-sweep [B,N,N] HBM traffic costs more
+    # than the fori_loop's serialization saves), so the sequential loop
+    # stays the default.  Kept selectable: the trade reverses when the
+    # matrix is small (latency configs) or chains are short.  Ignored when
+    # use_pallas=True.
+    suppression: str = "sequential"  # "sequential" | "jacobi"
     # TPU-native approximate top-k (jax.lax.approx_max_k) for the per-level
     # candidate selection: the TPU's partial-reduce sort unit is ~1.2×
     # faster than exact top_k on the big P3 map.  Only affects WHICH ~1000
@@ -193,6 +203,12 @@ class NMSConfig:
     # near the very bottom of the candidate list are the only deviation.
     use_approx_top_k: bool = False
     approx_top_k_recall: float = 0.95
+    # Same approximation for the GLOBAL pre-NMS selection (merged levels →
+    # pre_nms_top_k) in the fused serving path.  Separate opt-in from
+    # use_approx_top_k because its mAP impact has not been revalidated the
+    # way the per-level approximation has (NOTES round 3: per-level approx
+    # measured mAP-neutral on shapes at both tested configs).
+    use_approx_global_top_k: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

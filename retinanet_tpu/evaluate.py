@@ -70,6 +70,11 @@ def main(argv=None):
         help="approx_max_k candidate selection (the serving fast path; "
              "single-pass TPU PartialReduce, >=95%% of the true per-level "
              "top-k)")
+    parser.add_argument(
+        "--approx-global-top-k", action="store_true",
+        help="also approximate the GLOBAL pre-NMS selection (merged "
+             "levels -> pre_nms_top_k) with approx_max_k — the remaining "
+             "exact sort in the fused serving path")
     parser.add_argument("--quantize", type=str, default="none",
                         choices=["none", "int8"],
                         help="int8: post-training-quantized serving path "
@@ -86,6 +91,7 @@ def main(argv=None):
         ("train.experiment", args.experiment),
         ("nms.score_threshold", args.decode_threshold),
         ("nms.use_approx_top_k", bool(args.approx_top_k)),
+        ("nms.use_approx_global_top_k", bool(args.approx_global_top_k)),
     ]:
         config = _apply_dotted(config, dotted, value)
 

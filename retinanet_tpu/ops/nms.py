@@ -198,6 +198,57 @@ def _greedy_keep_mask(boxes: Array, scores: Array,
     return active
 
 
+def _greedy_keep_mask_jacobi(boxes: Array, iou_threshold: float) -> Array:
+    """Exact greedy NMS keep-mask via fixed-point iteration ([B,N,4] → [B,N]).
+
+    Greedy NMS on score-sorted boxes is the recursion
+
+        keep[i] = not any(keep[j] and iou[j, i] > thr  for j < i)
+
+    whose solution is unique (strong induction on i): ANY fixed point of the
+    equation IS the greedy answer.  So instead of the fori_loop's N
+    sequential [N]-sized steps (measured 5.5 ms at b128/N=1000 — the
+    serialization, not the math, is the cost), run Jacobi sweeps
+
+        keep ← not (keep @ S)    with  S[j, i] = (j < i) and iou[j, i] > thr
+
+    until a sweep changes nothing.  Each sweep is one [B,N]×[B,N,N] masked
+    matvec; after sweep t the first t+1 entries are provably at their final
+    values, so it converges in at most N sweeps — in practice the longest
+    *suppression chain* (a handful on real detector output, since classwise
+    offsetting zeroes cross-class IoU).  The while_loop's data-dependent
+    trip count is fine on TPU (it is outside any vmap).
+
+    Measured in-model at the serving config (b128@640, N=1000) this LOSES
+    to the sequential loop (533.4 vs 542.0 img/s): the extra [B,N,N] bf16
+    mask materialization plus per-sweep re-reads cost more HBM time than
+    the fori_loop's serialization.  Kept selectable for small-N /
+    small-batch configs where the matrix fits cache-like reuse.
+
+    bf16 is safe for the matvec: we only test >0, and a sum of
+    non-negative bf16 terms with any positive term stays positive.
+    """
+    b, n, _ = boxes.shape
+    iou = jax.vmap(box_ops.pairwise_iou, in_axes=(0, 0))(boxes, boxes)
+    tri = jnp.triu(jnp.ones((n, n), jnp.bool_), k=1)  # rows j < cols i
+    s = ((iou > iou_threshold) & tri).astype(jnp.bfloat16)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < n, jnp.any(keep != prev))
+
+    def body(state):
+        keep, _, it = state
+        sup = jnp.einsum("bj,bji->bi", keep.astype(jnp.bfloat16), s,
+                         preferred_element_type=jnp.float32) > 0
+        return (~sup, keep, it + 1)
+
+    keep0 = jnp.ones((b, n), jnp.bool_)
+    state = (keep0, jnp.zeros((b, n), jnp.bool_), jnp.int32(0))
+    keep, _, _ = jax.lax.while_loop(cond, body, state)
+    return keep
+
+
 def nms_padded(
     decoded: BoxesDecoded,
     iou_threshold: float = 0.5,
@@ -205,6 +256,7 @@ def nms_padded(
     classwise: bool = True,
     use_pallas: Optional[bool] = None,
     pre_nms_top_k: Optional[int] = None,
+    suppression: str = "sequential",
 ) -> BoxesDecoded:
     """Batched, static-shape (class-wise) NMS over padded candidates.
 
@@ -238,6 +290,8 @@ def nms_padded(
     if use_pallas:
         from retinanet_tpu.ops.pallas.nms_kernel import nms_keep_mask_batch
         keep = nms_keep_mask_batch(shifted, iou_threshold)
+    elif suppression == "jacobi":
+        keep = _greedy_keep_mask_jacobi(shifted, iou_threshold)
     else:
         keep = jax.vmap(
             lambda b, s: _greedy_keep_mask(b, s, iou_threshold))(
@@ -314,7 +368,15 @@ def fused_decode_nms(
     valid = scores > cfg.score_threshold
     masked = jnp.where(valid, scores, -1.0)
     k_in = min(cfg.pre_nms_top_k, masked.shape[1])
-    top_scores, order = jax.lax.top_k(masked, k_in)           # [B, k]
+    if cfg.use_approx_global_top_k and k_in < masked.shape[1]:
+        # Same approximation contract as the per-level selection: the TPU
+        # PartialReduce unit picks ≥recall of the true global top-k;
+        # aggregate_to_topk (the default) still returns them exactly
+        # sorted, which the greedy suppression ordering requires.
+        top_scores, order = jax.lax.approx_max_k(
+            masked, k_in, recall_target=cfg.approx_top_k_recall)
+    else:
+        top_scores, order = jax.lax.top_k(masked, k_in)       # [B, k]
     ids_s = jnp.take_along_axis(ids, order, axis=1)
     gidx_s = jnp.take_along_axis(gidx, order, axis=1)
     valid_s = top_scores > 0
@@ -341,6 +403,8 @@ def fused_decode_nms(
     if use_pallas:
         from retinanet_tpu.ops.pallas.nms_kernel import nms_keep_mask_batch
         keep = nms_keep_mask_batch(shifted, cfg.iou_threshold)
+    elif cfg.suppression == "jacobi":
+        keep = _greedy_keep_mask_jacobi(shifted, cfg.iou_threshold)
     else:
         keep = jax.vmap(
             lambda bx, s: _greedy_keep_mask(bx, s, cfg.iou_threshold))(
