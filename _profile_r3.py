@@ -427,6 +427,8 @@ def latency():
 
 
 if __name__ == "__main__":
+    from retinanet_tpu.utils.cli import enable_compilation_cache
+    enable_compilation_cache()
     part = sys.argv[1] if len(sys.argv) > 1 else "stages"
     print("backend:", jax.default_backend())
     args = [int(a) for a in sys.argv[2:]]
