@@ -171,6 +171,347 @@ def stages(batch=128, size=640):
         for n, t, fl, by in rows]}))
 
 
+def _train_inputs(batch, size, max_boxes):
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, size, size, 3), jnp.float32)
+    boxes = np.zeros((batch, max_boxes, 4), np.float32)
+    boxes[:, 0] = [0.2, 0.2, 0.7, 0.7]
+    boxes[:, 1] = [0.5, 0.4, 0.9, 0.8]
+    mask = np.zeros((batch, max_boxes), bool)
+    mask[:, :2] = True
+    return images, (jnp.asarray(boxes),
+                    jnp.zeros((batch, max_boxes), jnp.int32),
+                    jnp.asarray(mask), jax.random.PRNGKey(1))
+
+
+def trainprof(batch=16, size=640):
+    """Train-step decomposition (the train path was never profiled):
+    assignment, forward+loss, value_and_grad, full step, metrics variant.
+    Same cumulative-prefix idea as `stages`, but through the grad."""
+    from retinanet_tpu import train as T
+    from retinanet_tpu.ops import assign
+    from retinanet_tpu.ops.losses import detection_loss
+    from retinanet_tpu.ops.preprocess import maybe_normalize
+    from retinanet_tpu.utils.pytree import flatten_levels
+
+    config, levels, model, _, _ = _flagship(batch, size)
+    images, (boxes, ids, mask, rng) = _train_inputs(
+        batch, size, config.assign.max_boxes)
+    num_classes = 80
+
+    def labels(imgs):
+        cls_t, regr_t, masks = assign.build_labels_batch(
+            boxes, ids, mask, imgs.shape[1:3], levels, num_classes,
+            config.assign)
+        return (flatten_levels(cls_t), flatten_levels(regr_t),
+                flatten_levels(masks))
+
+    def loss_fn(params, imgs, ct, rt, tm):
+        out = model.apply({"params": params}, imgs, training=True,
+                          rngs={"dropout": rng})
+        cl = flatten_levels(out["classifications"])
+        rg = flatten_levels(out["regressions"])
+        class_loss, regr_loss = detection_loss(ct, cl, rt, rg, tm,
+                                               config.loss)
+        reg = T.l2_regularization(params, model.backbone,
+                                  config.loss.weight_decay)
+        return class_loss + regr_loss + reg
+
+    def assign_only(p, imgs):
+        ct, rt, tm = labels(maybe_normalize(imgs, config.data))
+        return jnp.sum(ct) + jnp.sum(rt) + jnp.sum(tm)
+
+    def fwd_loss(p, imgs):
+        imgs = maybe_normalize(imgs, config.data)
+        ct, rt, tm = labels(imgs)
+        return loss_fn(p, imgs, ct, rt, tm)
+
+    def grad_fn(p, imgs):
+        imgs = maybe_normalize(imgs, config.data)
+        ct, rt, tm = labels(imgs)
+        total, grads = jax.value_and_grad(loss_fn)(p, imgs, ct, rt, tm)
+        import optax
+        return total + optax.global_norm(grads)
+
+    state = T.create_train_state(model, config, jax.random.PRNGKey(0))
+    params = state.params
+
+    rows = []
+
+    def row(name, jitted, *args):
+        t = timeit(jitted, *args)
+        fl, by = _cost(jitted, *args)
+        rows.append((name, t, fl, by))
+        print(f"{name:26s} {t*1e3:8.2f} ms  "
+              f"{fl/1e9/batch if fl == fl else float('nan'):7.1f} GF/img  "
+              f"{by/1e9:7.2f} GB  "
+              f"mfu={fl/t/V5E_BF16_PEAK*100 if fl == fl else 0:5.1f}%  "
+              f"hbm={by/t/V5E_HBM_BW*100 if by == by else 0:5.1f}%",
+              flush=True)
+
+    row("assignment only", jax.jit(assign_only), params, images)
+    row("+forward+loss", jax.jit(fwd_loss), params, images)
+    row("+grad (bwd)", jax.jit(grad_fn), params, images)
+
+    def step_row(name, with_metrics):
+        st = T.create_train_state(model, config, jax.random.PRNGKey(0))
+        step = jax.jit(T.make_train_step(model, levels, config,
+                                         with_metrics=with_metrics),
+                       donate_argnums=(0,))
+        fl, by = _cost(step, st, images, boxes, ids, mask, rng)
+        m = None
+        for _ in range(2):
+            st, m = step(st, images, boxes, ids, mask, rng)
+        jax.device_get(m["total_loss"])
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            st, m = step(st, images, boxes, ids, mask, rng)
+        jax.device_get(m["total_loss"])
+        t = (time.perf_counter() - t0) / iters
+        rows.append((name, t, fl, by))
+        print(f"{name:26s} {t*1e3:8.2f} ms  "
+              f"{fl/1e9/batch:7.1f} GF/img  {by/1e9:7.2f} GB  "
+              f"mfu={fl/t/V5E_BF16_PEAK*100:5.1f}%  "
+              f"hbm={by/t/V5E_HBM_BW*100:5.1f}%  "
+              f"({batch/t:.1f} img/s)", flush=True)
+
+    step_row("full step (hot variant)", False)
+    step_row("full step (+metrics)", True)
+
+    print("\nDeltas:")
+    prev = 0.0
+    for name, t, fl, by in rows[:3]:
+        print(f"  {name:26s} Δ {max(t - prev, 0)*1e3:7.2f} ms")
+        prev = t
+    print(json.dumps({"rows": [
+        {"name": n, "ms": t * 1e3, "flops": fl, "bytes": by}
+        for n, t, fl, by in rows]}))
+
+
+def assignsweep(batch=16, size=640):
+    """Assignment-only time vs AssignConfig.match_chunk (0 = dense)."""
+    from retinanet_tpu.ops import assign
+    from retinanet_tpu.utils.pytree import flatten_levels
+
+    config, levels, _, _, _ = _flagship(batch, size)
+    _, (boxes, ids, mask, _) = _train_inputs(batch, size,
+                                             config.assign.max_boxes)
+    for chunk in (0, 5, 10, 20, 25, 50, 100):
+        cfg = dataclasses.replace(config.assign, match_chunk=chunk)
+
+        def fn(b, i, m, cfg=cfg):
+            ct, rt, tm = assign.build_labels_batch(
+                b, i, m, (size, size), levels, 80, cfg)
+            return (jnp.sum(flatten_levels(ct)) + jnp.sum(flatten_levels(rt))
+                    + jnp.sum(flatten_levels(tm).astype(jnp.float32)))
+
+        t = timeit(jax.jit(fn), boxes, ids, mask)
+        print(f"chunk {chunk:3d}: {t*1e3:7.2f} ms", flush=True)
+
+
+def assignprof(batch=16, size=640):
+    """Cumulative component taps inside label assignment: match reduction,
+    class gather+one-hot, regression gather+encode."""
+    from retinanet_tpu.ops import assign
+    from retinanet_tpu.ops import boxes as box_ops
+    from retinanet_tpu.utils.pytree import flatten_levels
+
+    config, levels, _, _, _ = _flagship(batch, size)
+    _, (boxes, ids, mask, _) = _train_inputs(batch, size,
+                                             config.assign.max_boxes)
+    cfg = config.assign
+
+    def per_level(tap):
+        def one_image(b, i, m):
+            outs = []
+            for pn in levels:
+                gh, gw = levels.grid_hw(pn, (size, size))
+                a_sizes = jnp.asarray(
+                    levels.normalized_anchor_sizes(pn, (size, size)))
+                grid = box_ops.position_grid(gh, gw)[:, :, None, :]
+                a_pos = jnp.broadcast_to(grid, (gh, gw, len(a_sizes), 2))
+                a_size = jnp.broadcast_to(
+                    a_sizes[None, None].astype(jnp.float32),
+                    (gh, gw, len(a_sizes), 2))
+                a_corner = box_ops.from_center_box(
+                    jnp.concatenate([a_pos, a_size], axis=-1))
+                outs.append(tap(b, i, m, a_corner, a_pos, a_size))
+            return outs
+        return jax.jit(jax.vmap(one_image))
+
+    def t_match(b, i, m, a_corner, a_pos, a_size):
+        miou, midx = assign._match(a_corner, b, m, cfg.match_chunk)
+        return jnp.sum(miou) + jnp.sum(midx)
+
+    def t_class(b, i, m, a_corner, a_pos, a_size):
+        miou, midx = assign._match(a_corner, b, m, cfg.match_chunk)
+        matched_class = jnp.take(i, midx, axis=0)
+        cls = jax.nn.one_hot(matched_class, 80, dtype=jnp.float32)
+        cls = jnp.where((miou < cfg.pos_iou_threshold)[..., None], 0.0, cls)
+        return jnp.sum(cls)
+
+    def t_regr(b, i, m, a_corner, a_pos, a_size):
+        miou, midx = assign._match(a_corner, b, m, cfg.match_chunk)
+        center = box_ops.to_center_box(b)
+        mbox = jnp.take(center, midx, axis=0)
+        mpos, msize = jnp.split(mbox, 2, axis=-1)
+        shifts = (mpos - a_pos) / a_size
+        regr = jnp.concatenate(
+            [shifts, jnp.log(jnp.maximum(msize, 1e-8) / a_size)], axis=-1)
+        return jnp.sum(regr)
+
+    for name, tap in [("match only", t_match), ("match+class", t_class),
+                      ("match+regr", t_regr)]:
+        t = timeit(per_level(tap), boxes, ids, mask)
+        print(f"{name:14s} {t*1e3:7.2f} ms", flush=True)
+
+    def full(b, i, m):
+        ct, rt, tm = assign.build_labels_batch(
+            b, i, m, (size, size), levels, 80, cfg)
+        return (jnp.sum(flatten_levels(ct)) + jnp.sum(flatten_levels(rt))
+                + jnp.sum(flatten_levels(tm).astype(jnp.float32)))
+    t = timeit(jax.jit(full), boxes, ids, mask)
+    print(f"{'full':14s} {t*1e3:7.2f} ms", flush=True)
+
+    # On-TPU exactness: one-hot-matmul selection (the shipped path) vs the
+    # gather formulation, bitwise, on random boxes (64px canvas keeps the
+    # comparison cheap; selection exactness is size-independent).
+    rng = np.random.RandomState(3)
+    n = 100
+    tl = rng.rand(n, 2).astype(np.float32) * 0.6
+    b2 = jnp.asarray(np.concatenate([tl, tl + rng.rand(n, 2) * 0.4 + 0.01],
+                                    -1), jnp.float32)[None]
+    i2 = jnp.asarray(rng.randint(0, 80, n), jnp.int32)[None]
+    m2 = jnp.asarray(rng.rand(n) < 0.8)[None]
+
+    def gather_labels(b, i, m):
+        from retinanet_tpu.ops import boxes as bo
+        outs = {}
+        for pn in levels:
+            gh, gw = levels.grid_hw(pn, (64, 64))
+            a_sizes = jnp.asarray(
+                levels.normalized_anchor_sizes(pn, (64, 64)))
+            grid = bo.position_grid(gh, gw)[:, :, None, :]
+            a_pos = jnp.broadcast_to(grid, (gh, gw, len(a_sizes), 2))
+            a_size = jnp.broadcast_to(
+                a_sizes[None, None].astype(jnp.float32),
+                (gh, gw, len(a_sizes), 2))
+            a_corner = bo.from_center_box(
+                jnp.concatenate([a_pos, a_size], axis=-1))
+            miou, midx = assign._match(a_corner, b, m, 0)
+            mc = jnp.take(i, midx, axis=0)
+            cls = jax.nn.one_hot(mc, 80, dtype=jnp.float32)
+            bg = miou < (cfg.pos_iou_threshold if cfg.bg_uses_pos_threshold
+                         else cfg.neg_iou_threshold)
+            cls = jnp.where(bg[..., None], 0.0, cls)
+            mbox = jnp.take(bo.to_center_box(b), midx, axis=0)
+            mpos, msize = jnp.split(mbox, 2, axis=-1)
+            regr = jnp.concatenate(
+                [(mpos - a_pos) / a_size,
+                 jnp.log(jnp.maximum(msize, 1e-8) / a_size)], axis=-1)
+            outs[pn] = (cls, regr)
+        return outs
+
+    ship = jax.jit(lambda b, i, m: assign.build_labels_batch(
+        b, i, m, (64, 64), levels, 80, cfg))(b2, i2, m2)
+    ref = jax.jit(jax.vmap(gather_labels))(b2[:], i2, m2)
+    bad = 0
+    for pn, (cls_r, regr_r) in ref.items():
+        for name, a, b_ in (("cls", ship[0][pn], cls_r),
+                            ("regr", ship[1][pn], regr_r)):
+            diff = int(jnp.sum(jnp.asarray(a) != jnp.asarray(b_)))
+            if diff:
+                mx = float(jnp.max(jnp.abs(jnp.asarray(a)
+                                           - jnp.asarray(b_))))
+                print(f"  exactness {pn}/{name}: {diff} mismatches "
+                      f"max|Δ|={mx:.3e}", flush=True)
+                bad += diff
+    print("exactness: BITWISE EQUAL" if bad == 0
+          else f"exactness: {bad} mismatching elements", flush=True)
+
+
+def trainsweep(size=640):
+    """Train-step throughput vs batch size (and remat at the largest)."""
+    from retinanet_tpu import train as T
+    from retinanet_tpu.config import Config
+
+    config, *_ = _flagship(1, size)
+    for b in (8, 16, 32, 48, 64):
+        try:
+            r = T.benchmark_train(config, batch_size=b, steps=6, warmup=2)
+            print(f"b{b:<3d} {r['images_per_sec']:7.1f} img/s  "
+                  f"{r['step_ms']:7.1f} ms/step", flush=True)
+        except Exception as e:
+            print(f"b{b:<3d} failed: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            break
+    cfg_remat = dataclasses.replace(
+        config, model=dataclasses.replace(config.model, remat=True))
+    for b in (32, 64, 96):
+        try:
+            r = T.benchmark_train(cfg_remat, batch_size=b, steps=6, warmup=2)
+            print(f"remat b{b:<3d} {r['images_per_sec']:7.1f} img/s  "
+                  f"{r['step_ms']:7.1f} ms/step", flush=True)
+        except Exception as e:
+            print(f"remat b{b:<3d} failed: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            break
+
+
+def infersweep(size=640):
+    """End-to-end inference throughput vs batch size, serving config
+    (approx top-k decode, the bench configuration).  The b128 sweet spot
+    was established in round 2 BEFORE the decode redesign; the decode
+    rewrite shifted small-batch economics (b32 416 vs 355), so the
+    crossover needs re-measuring (memory rule: re-measure old A/B
+    decisions after any upstream change)."""
+    from retinanet_tpu.infer import make_inference_fn
+
+    for b in (96, 128, 160, 192, 256):
+        try:
+            config, levels, model, params, images = _flagship(
+                b, size, use_approx_top_k=True)
+            full = make_inference_fn(model, levels, config)
+            t = timeit(full, params, images)
+            print(f"b{b:<4d} {b/t:7.1f} img/s  {t*1e3:7.1f} ms", flush=True)
+            del params, images
+        except Exception as e:
+            print(f"b{b:<4d} failed: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            break
+
+
+def blockfuse(batch=128, size=640):
+    """In-model A/B of the fused whole-bottleneck Pallas serving kernel
+    (ops/pallas/bottleneck.py) on the flagship inference program, plus an
+    equality check of the two paths on the same random params."""
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    config, levels, model, params, images = _flagship(
+        batch, size, use_approx_top_k=True)
+    full = make_inference_fn(model, levels, config)
+    t0 = timeit(full, params, images)
+    print(f"unfused  {batch/t0:7.1f} img/s  {t0*1e3:7.1f} ms", flush=True)
+
+    cfg_f = dataclasses.replace(
+        config, model=dataclasses.replace(config.model, fused_blocks=True))
+    model_f = RetinaNet.from_config(cfg_f.model)
+    full_f = make_inference_fn(model_f, levels, cfg_f)
+    t1 = timeit(full_f, params, images)
+    print(f"fused    {batch/t1:7.1f} img/s  {t1*1e3:7.1f} ms  "
+          f"({t0/t1:.3f}x)", flush=True)
+
+    # Output agreement on the real program (bf16 tolerance: conv-vs-dot
+    # accumulation order differs inside the kernel).
+    a = jax.device_get(full(params, images[:8]))
+    bb = jax.device_get(full_f(params, images[:8]))
+    for k in ("boxes", "scores", "class_ids"):
+        x, y = np.asarray(a[k], np.float32), np.asarray(bb[k], np.float32)
+        print(f"{k}: max|Δ| {np.abs(x - y).max():.4g}", flush=True)
+
+
 def cost(batch=128, size=640):
     from retinanet_tpu.infer import make_inference_fn
     config, levels, model, params, images = _flagship(batch, size)
@@ -434,4 +775,7 @@ if __name__ == "__main__":
     args = [int(a) for a in sys.argv[2:]]
     dict(stages=stages, cost=cost, trace=trace, approx=approx, s2d=s2d,
          latency=latency, nmsprof=nmsprof, int8dot=int8dot,
-         supp=supp, supp2=supp2)[part](*args)
+         supp=supp, supp2=supp2, trainprof=trainprof,
+         trainsweep=trainsweep, assignsweep=assignsweep,
+         assignprof=assignprof, infersweep=infersweep,
+         blockfuse=blockfuse)[part](*args)

@@ -55,6 +55,13 @@ class AssignConfig:
     pos_iou_threshold: float = 0.5
     bg_uses_pos_threshold: bool = True
     max_boxes: int = 100  # static padding of per-image GT boxes
+    # >0: anchor↔GT matching runs as a lax.scan over GT-box chunks of this
+    # size (bit-exact vs the dense reduction).  Measured timing-PARITY with
+    # the dense path at b16@640 (24.3 vs 25.0-25.6 ms, NOTES round 3): XLA
+    # already fuses the [H,W,A,max_boxes] IoU into its reductions, so the
+    # dense formulation stays the default; the knob remains for
+    # memory-constrained configs with very large max_boxes.
+    match_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +106,12 @@ class ModelConfig:
     # Rematerialize backbone blocks in the backward pass (trades ~30% extra
     # forward FLOPs for activation memory — enables larger train batches).
     remat: bool = False
+    # Fused whole-bottleneck Pallas kernels for the dense ResNet backbone's
+    # stride-1 identity blocks at serving time (ops/pallas/bottleneck.py:
+    # one HBM read + one write per block instead of ~11 tensor passes).
+    # Inference-only (training always takes the XLA path) and parameter-
+    # compatible: checkpoints load identically either way.
+    fused_blocks: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

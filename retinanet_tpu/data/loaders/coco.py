@@ -90,4 +90,13 @@ class COCO(Base):
             if self._include_crowds:
                 sample["iscrowd"] = np.array(iscrowd, bool)
                 sample["areas"] = np.array(areas, np.float32)
+                # Original COCO image id: lets evaluate --dump-detections
+                # emit results keyed the way pycocotools expects.
+                sample["image_id"] = image["id"]
             yield sample
+
+    @property
+    def coco_category_ids(self):
+        """Contiguous class index -> original COCO category id (for
+        exporting detections in canonical COCO-results format)."""
+        return list(self._category_ids)

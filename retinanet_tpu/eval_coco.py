@@ -347,7 +347,8 @@ def evaluate_detections(
 
 
 def evaluate_model(detector, loader, config, max_images: int = None,
-                   score_threshold: float = None) -> Dict[str, float]:
+                   score_threshold: float = None,
+                   detections_sink=None) -> Dict[str, float]:
     """Run the detector over a loader and compute mAP, streaming.
 
     One pass over the loader; each sample is preprocessed, batched (partial
@@ -363,6 +364,12 @@ def evaluate_model(detector, loader, config, max_images: int = None,
     same padding geometry (round-2 advisor: square-only eval understated
     mAP on non-square datasets).  No sample is ever dropped (unlike the
     training pipeline's static-batch remainder drop).
+
+    ``detections_sink(gt_meta, det)``, if given, receives each image's
+    post-threshold detections (original-pixel [t,l,b,r] boxes) together
+    with its GT dict (which carries ``image_id`` when the loader provides
+    one) — the hook behind ``evaluate --dump-detections``, which exports
+    canonical COCO-results JSON for offline pycocotools cross-validation.
     """
     import dataclasses
 
@@ -392,6 +399,8 @@ def evaluate_model(detector, loader, config, max_images: int = None,
             if score_threshold is not None:
                 keep = det["scores"] >= score_threshold
                 det = {k: v[keep] for k, v in det.items()}
+            if detections_sink is not None:
+                detections_sink(gt, det)
             evaluator.add(det, gt)
 
     for i, sample in enumerate(loader):
@@ -406,7 +415,10 @@ def evaluate_model(detector, loader, config, max_images: int = None,
         gts.append({"boxes": np.asarray(sample["boxes"], np.float32),
                     "class_ids": np.asarray(sample["class_ids"]),
                     "iscrowd": sample.get("iscrowd"),
-                    "areas": sample.get("areas")})
+                    "areas": sample.get("areas"),
+                    # Running index fallback keeps the dump usable for
+                    # loaders without native ids (shapes, pascal).
+                    "image_id": sample.get("image_id", i)})
         if len(images) == batch_size:
             flush(canvas)
     for canvas in list(pending):

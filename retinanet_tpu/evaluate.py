@@ -79,6 +79,17 @@ def main(argv=None):
                         choices=["none", "int8"],
                         help="int8: post-training-quantized serving path "
                              "(same checkpoint, conv layers in s8×s8→s32)")
+    parser.add_argument(
+        "--fused-blocks", action="store_true",
+        help="fused whole-bottleneck Pallas serving kernels for the dense "
+             "ResNet backbone (1 HBM read + 1 write per identity block); "
+             "checkpoint-compatible with the unfused model")
+    parser.add_argument(
+        "--dump-detections", type=str, default=None, metavar="PATH",
+        help="also write every detection in canonical COCO-results JSON "
+             "([{image_id, category_id, bbox [x,y,w,h], score}]) so the "
+             "built-in evaluator can be cross-checked offline with "
+             "pycocotools (COCO.loadRes + COCOeval)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -92,6 +103,7 @@ def main(argv=None):
         ("nms.score_threshold", args.decode_threshold),
         ("nms.use_approx_top_k", bool(args.approx_top_k)),
         ("nms.use_approx_global_top_k", bool(args.approx_global_top_k)),
+        ("model.fused_blocks", bool(args.fused_blocks)),
     ]:
         config = _apply_dotted(config, dotted, value)
 
@@ -99,9 +111,37 @@ def main(argv=None):
     # protocol) rather than being dropped (the training behaviour).
     loader = Inferred(args.dataset[0], args.dataset[1:], include_crowds=True)
     detector = load_detector(config, loader, args.step)
+    sink = None
+    dump: list = []
+    if args.dump_detections:
+        # Contiguous class index -> original COCO category id when the
+        # loader knows it (COCO json); identity otherwise.
+        cat_ids = getattr(loader, "coco_category_ids", None)
+
+        def sink(gt, det):
+            image_id = gt.get("image_id")
+            for (t, l, b, r), score, cls in zip(
+                    det["boxes"], det["scores"], det["class_ids"]):
+                cls = int(cls)
+                dump.append({
+                    "image_id": (int(image_id) if image_id is not None
+                                 else len(dump)),
+                    "category_id": (int(cat_ids[cls]) if cat_ids is not None
+                                    else cls),
+                    "bbox": [float(l), float(t),
+                             float(r - l), float(b - t)],
+                    "score": float(score),
+                })
+
     metrics = evaluate_model(detector, loader, config,
                              max_images=args.max_images,
-                             score_threshold=args.score_threshold)
+                             score_threshold=args.score_threshold,
+                             detections_sink=sink)
+    if args.dump_detections:
+        with open(args.dump_detections, "w") as f:
+            json.dump(dump, f)
+        logger.info("wrote %d detections to %s (COCO-results format)",
+                    len(dump), args.dump_detections)
     import math
     # nan = "no GT in this area bucket" → null (strict-JSON safe).
     print(json.dumps({k: (None if isinstance(v, float) and math.isnan(v)

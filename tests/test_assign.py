@@ -150,3 +150,34 @@ def test_build_labels_batch_vmap_and_jit():
     # Some anchor at some level should be foreground for a centered box.
     total_fg = sum(float(jnp.sum(cls[k])) for k in cls)
     assert total_fg > 0
+
+
+def test_match_chunk_bitexact_vs_dense():
+    """The chunked-scan matcher is bit-exact vs the direct dense reduction,
+    including first-wins ties (duplicate boxes) and all-padded inputs, for
+    chunk sizes that do and don't divide MAX_BOXES."""
+    rng = np.random.RandomState(7)
+    max_boxes = 23
+    tl = rng.rand(max_boxes, 2) * 0.6
+    br = tl + rng.rand(max_boxes, 2) * 0.4 + 0.01
+    boxes = np.concatenate([tl, br], -1).astype(np.float32)
+    boxes[5] = boxes[2]   # exact duplicates → IoU ties across chunks
+    boxes[21] = boxes[2]
+    class_ids = rng.randint(0, 3, size=max_boxes).astype(np.int32)
+    levels = build_levels()
+
+    for mask in (np.ones(max_boxes, bool),
+                 rng.rand(max_boxes) < 0.5,
+                 np.zeros(max_boxes, bool)):
+        dense = assign.build_labels(
+            jnp.asarray(boxes), jnp.asarray(class_ids), jnp.asarray(mask),
+            64, levels, 3, AssignConfig(max_boxes=max_boxes, match_chunk=0))
+        for chunk in (1, 4, 23, 40):
+            chunked = assign.build_labels(
+                jnp.asarray(boxes), jnp.asarray(class_ids),
+                jnp.asarray(mask), 64, levels, 3,
+                AssignConfig(max_boxes=max_boxes, match_chunk=chunk))
+            for d, c in zip(dense, chunked):
+                for pn in d:
+                    np.testing.assert_array_equal(np.asarray(d[pn]),
+                                                  np.asarray(c[pn]))

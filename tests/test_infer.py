@@ -166,3 +166,25 @@ def test_evaluate_model_rect_buckets_no_drop():
         ec.COCOEvaluator.add = orig_add
     assert len(calls) == 5  # every sample matched into the evaluator
     assert "mAP" in metrics
+
+
+def test_evaluate_model_detections_sink():
+    """detections_sink receives one (gt, det) call per image, with running-
+    index image ids for loaders without native ids — the hook behind
+    ``evaluate --dump-detections`` (offline pycocotools cross-validation)."""
+    cfg = _config()
+    # Zero decode threshold: even the untrained prior (sigmoid ~0.01)
+    # yields detections, so the sink sees nonempty boxes.
+    cfg = dataclasses.replace(
+        cfg, nms=dataclasses.replace(cfg.nms, score_threshold=0.0))
+    det = _detector(cfg)
+    loader = Shapes(None, 3, (64, 64))
+    calls = []
+    evaluate_model(det, loader, cfg,
+                   detections_sink=lambda gt, d: calls.append((gt, d)))
+    assert len(calls) == 3
+    assert sorted(gt["image_id"] for gt, _ in calls) == [0, 1, 2]
+    for gt, d in calls:
+        assert {"boxes", "scores", "class_ids"} <= set(d)
+        assert d["boxes"].shape[0] == d["scores"].shape[0]
+        assert d["boxes"].shape[0] > 0  # threshold 0 keeps candidates
