@@ -27,6 +27,10 @@ def main(argv=None):
                         choices=["none", "int8"])
     parser.add_argument("--backbone", type=str, default="resnet_50_dense")
     parser.add_argument("--skip-train-bench", action="store_true")
+    parser.add_argument("--fused-blocks", action="store_true",
+                        help="fused whole-bottleneck Pallas serving kernels "
+                             "(A/B lever; default decided by measurement, "
+                             "see NOTES round 3)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -39,7 +43,8 @@ def main(argv=None):
         config,
         model=dataclasses.replace(config.model,
                                   backbone=args.backbone,
-                                  quantize=args.quantize),
+                                  quantize=args.quantize,
+                                  fused_blocks=args.fused_blocks),
         nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     on_tpu = jax.default_backend() == "tpu"
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s

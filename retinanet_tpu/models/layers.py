@@ -68,7 +68,7 @@ class GroupNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, params_only: bool = False):
         n, h, w, c = x.shape
         groups = min(self.groups, c)
         # The reference reshapes to [n,h,w,G,C//G] without checking
@@ -80,6 +80,12 @@ class GroupNorm(nn.Module):
 
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        if params_only:
+            # Create-and-return mode: fused whole-block kernels (e.g.
+            # ops/pallas/bottleneck.py) consume the raw parameters while
+            # keeping the parameter tree (and checkpoints) identical to the
+            # unfused path.
+            return gamma, beta
 
         # Fused path only where it pays: small tensors (<0.5 MB bf16) cost
         # ~nothing either way, and every distinct shape is a separate Mosaic
@@ -151,7 +157,7 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, params_only: bool = False):
         k = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) \
             else tuple(self.kernel_size)
         s = (self.strides,) * 2 if isinstance(self.strides, int) \
@@ -160,6 +166,8 @@ class Conv(nn.Module):
             "kernel", self.kernel_init,
             (*k, x.shape[-1] // self.feature_group_count, self.features),
             jnp.float32)
+        if params_only:  # see GroupNorm.__call__
+            return kernel
         groups = self.feature_group_count
         if self.grouped_as_dense and groups > 1 \
                 and x.shape[-1] == self.features:
@@ -231,13 +239,23 @@ class ConvGN(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, *, training: bool = False) -> Array:
-        x = Conv(self.features, self.kernel_size, self.strides,
-                 feature_group_count=self.feature_group_count,
-                 kernel_init=self.kernel_init, quantize=self.quantize,
-                 dtype=self.dtype)(x)
-        x = GroupNorm(groups=self.gn_groups, activation=self.activation,
-                      dtype=self.dtype)(x)
+    def __call__(self, x: Array, *, training: bool = False,
+                 params_only: bool = False):
+        conv = Conv(self.features, self.kernel_size, self.strides,
+                    feature_group_count=self.feature_group_count,
+                    kernel_init=self.kernel_init, quantize=self.quantize,
+                    dtype=self.dtype)
+        gn = GroupNorm(groups=self.gn_groups, activation=self.activation,
+                       dtype=self.dtype)
+        if params_only:
+            # Raw (kernel, gamma, beta) for fused whole-block kernels;
+            # parameter names/shapes identical to the compute path.
+            kernel = conv(x, params_only=True)
+            gamma, beta = gn(jnp.zeros((1, 1, 1, self.features), x.dtype),
+                             params_only=True)
+            return kernel, gamma, beta
+        x = conv(x)
+        x = gn(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         return x

@@ -93,6 +93,7 @@ class ResNetBottleneck(nn.Module):
     filters: int
     project: Union[bool, str]
     quantize: bool = False
+    fused: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -103,14 +104,34 @@ class ResNetBottleneck(nn.Module):
             identity = ConvGN(self.filters * 4, kernel_size=1,
                               strides=strides, quantize=self.quantize,
                               dtype=self.dtype)(identity, training=training)
-        x = ConvGN(self.filters, kernel_size=1, activation="relu",
-                   quantize=self.quantize,
-                   dtype=self.dtype)(x, training=training)
-        x = ConvGN(self.filters, kernel_size=3, strides=strides,
-                   activation="relu", quantize=self.quantize,
-                   dtype=self.dtype)(x, training=training)
-        x = ConvGN(self.filters * 4, kernel_size=1, quantize=self.quantize,
-                   dtype=self.dtype)(x, training=training)
+        conv1 = ConvGN(self.filters, kernel_size=1, activation="relu",
+                       quantize=self.quantize, dtype=self.dtype)
+        conv2 = ConvGN(self.filters, kernel_size=3, strides=strides,
+                       activation="relu", quantize=self.quantize,
+                       dtype=self.dtype)
+        conv3 = ConvGN(self.filters * 4, kernel_size=1,
+                       quantize=self.quantize, dtype=self.dtype)
+        # Fused serving path: the whole identity block as one Pallas kernel
+        # (1 HBM read + 1 write instead of ~11 tensor passes; see
+        # ops/pallas/bottleneck.py).  Training and projection/downsample
+        # blocks keep the XLA path (the semantic reference); parameters are
+        # created through the same modules either way, so checkpoints are
+        # path-independent.
+        if (self.fused and not training and not self.quantize
+                and not self.project and self.dtype == jnp.bfloat16
+                and x.shape[-1] == self.filters * 4):
+            from retinanet_tpu.ops.pallas.bottleneck import fused_bottleneck
+            # Kernel shapes derive from each conv's *input* channel count.
+            inner = jnp.zeros((1, 1, 1, self.filters), x.dtype)
+            k1, g1, b1 = conv1(x, params_only=True)
+            k2, g2, b2 = conv2(inner, params_only=True)
+            k3, g3, b3 = conv3(inner, params_only=True)
+            return fused_bottleneck(
+                x, k1, g1, b1, k2, g2, b2, k3, g3, b3,
+                interpret=jax.default_backend() != "tpu")
+        x = conv1(x, training=training)
+        x = conv2(x, training=training)
+        x = conv3(x, training=training)
         return jax.nn.relu(x + identity)
 
 
@@ -122,6 +143,7 @@ class ResNet50(nn.Module):
     dropout_rate: float = 0.0
     remat: bool = False
     quantize: bool = False
+    fused_blocks: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -138,8 +160,13 @@ class ResNet50(nn.Module):
         for stage_idx, (filters, depth, downsample) in enumerate(stages):
             for i in range(depth):
                 project = ("down" if downsample else True) if i == 0 else False
+                # res2 (filters=64) stays on XLA: its 64-wide inner matmuls
+                # underfill the 128×128 MXU and its 160×160×256 canvases
+                # push the whole-image-in-VMEM budget.
                 block = ResNetBottleneck(filters=filters, project=project,
                                          quantize=self.quantize,
+                                         fused=self.fused_blocks
+                                               and filters >= 128,
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x
