@@ -503,6 +503,21 @@ def blockfuse(batch=128, size=640):
     print(f"fused    {batch/t1:7.1f} img/s  {t1*1e3:7.1f} ms  "
           f"({t0/t1:.3f}x)", flush=True)
 
+    # res2 fusion: MOST HBM-bound stage, but 64-wide matmuls + the largest
+    # whole-image VMEM residents — measured separately.
+    cfg_f2 = dataclasses.replace(
+        config, model=dataclasses.replace(
+            config.model, fused_blocks=True, fused_res2=True))
+    model_f2 = RetinaNet.from_config(cfg_f2.model)
+    full_f2 = make_inference_fn(model_f2, levels, cfg_f2)
+    try:
+        t2 = timeit(full_f2, params, images)
+        print(f"fused+r2 {batch/t2:7.1f} img/s  {t2*1e3:7.1f} ms  "
+              f"({t0/t2:.3f}x)", flush=True)
+    except Exception as e:
+        print(f"fused+r2 failed: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+
     # Output agreement on the real program (bf16 tolerance: conv-vs-dot
     # accumulation order differs inside the kernel).
     a = jax.device_get(full(params, images[:8]))

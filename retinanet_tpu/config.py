@@ -112,6 +112,12 @@ class ModelConfig:
     # Inference-only (training always takes the XLA path) and parameter-
     # compatible: checkpoints load identically either way.
     fused_blocks: bool = False
+    # Extend block fusion to res2 (64-wide inner matmuls).  res2 is the
+    # MOST HBM-bound stage in the profile (NOTES round-3 stage table:
+    # 41 ms at 75-76% HBM util), but its matmuls quarter-fill the MXU and
+    # its 160x160x256 images are the largest VMEM residents — so res2
+    # fusion is a separate measured A/B lever, not implied by fused_blocks.
+    fused_res2: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -144,6 +144,7 @@ class ResNet50(nn.Module):
     remat: bool = False
     quantize: bool = False
     fused_blocks: bool = False
+    fused_res2: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -160,13 +161,16 @@ class ResNet50(nn.Module):
         for stage_idx, (filters, depth, downsample) in enumerate(stages):
             for i in range(depth):
                 project = ("down" if downsample else True) if i == 0 else False
-                # res2 (filters=64) stays on XLA: its 64-wide inner matmuls
-                # underfill the 128×128 MXU and its 160×160×256 canvases
-                # push the whole-image-in-VMEM budget.
+                # res2 (filters=64) defaults to XLA: its 64-wide inner
+                # matmuls underfill the 128×128 MXU and its 160×160×256
+                # canvases are the largest whole-image VMEM residents.  But
+                # it is also the MOST HBM-bound stage (NOTES stage table),
+                # so fused_res2 makes it a separately measurable lever.
                 block = ResNetBottleneck(filters=filters, project=project,
                                          quantize=self.quantize,
                                          fused=self.fused_blocks
-                                               and filters >= 128,
+                                               and (filters >= 128
+                                                    or self.fused_res2),
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x

@@ -33,7 +33,8 @@ BACKBONES = ("resnet_50", "resnet_50_dense", "densenet_121", "densenet_169",
 def build_backbone(name: str, activation: str, dropout_rate: float,
                    dtype: Any = jnp.bfloat16,
                    remat: bool = False, quantize: bool = False,
-                   fused_blocks: bool = False) -> nn.Module:
+                   fused_blocks: bool = False,
+                   fused_res2: bool = False) -> nn.Module:
     """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
     ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
     if name == "resnet_50":
@@ -42,7 +43,7 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
     if name == "resnet_50_dense":
         return ResNet50(activation=activation, remat=remat,
                         quantize=quantize, fused_blocks=fused_blocks,
-                        dtype=dtype)
+                        fused_res2=fused_res2, dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
                              remat=remat, quantize=quantize, dtype=dtype)
@@ -75,6 +76,7 @@ class RetinaNet(nn.Module):
     # Fused whole-bottleneck Pallas serving kernels for the dense ResNet
     # backbone (ops/pallas/bottleneck.py); inference-only, param-compatible.
     fused_blocks: bool = False
+    fused_res2: bool = False
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -92,13 +94,14 @@ class RetinaNet(nn.Module):
             remat=cfg.remat,
             quantize=cfg.quantize == "int8",
             fused_blocks=cfg.fused_blocks,
+            fused_res2=cfg.fused_res2,
             dtype=jnp.dtype(cfg.compute_dtype))
 
     def setup(self):
         self.backbone_net = build_backbone(
             self.backbone, self.activation, self.dropout_rate, self.dtype,
             remat=self.remat, quantize=self.quantize,
-            fused_blocks=self.fused_blocks)
+            fused_blocks=self.fused_blocks, fused_res2=self.fused_res2)
         self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
                        quantize=self.quantize, dtype=self.dtype)
         # Heads stay float under int8 serving: fp32-safe logits/regression

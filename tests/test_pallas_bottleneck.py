@@ -90,6 +90,38 @@ def test_projection_blocks_never_fuse():
     assert out.shape == (1, 8, 8, 64)
 
 
+def test_fused_res2_geometry_matches():
+    """res2 geometry (filters=64, 256-wide residual): the fused_res2 lever
+    applies the kernel to the 64-wide blocks too; bitwise equality on a
+    direct input, same as the wider blocks."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 20, 20, 256), jnp.bfloat16)
+    plain = ResNetBottleneck(filters=64, project=False)
+    fused = ResNetBottleneck(filters=64, project=False, fused=True)
+    params = _randomized_params(plain, x)
+    ref = plain.apply({"params": params}, x, training=False)
+    out = fused.apply({"params": params}, x, training=False)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(out, np.float32))
+
+
+def test_resnet50_fused_res2_flag_reaches_blocks():
+    """fused_res2=True widens fusion to filters=64 blocks (smoke: the
+    backbone still runs and matches the unfused taps within the same
+    whole-backbone tolerance as test_resnet50_fused_matches_unfused)."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.bfloat16)
+    plain = ResNet50()
+    fused = ResNet50(fused_blocks=True, fused_res2=True)
+    params = plain.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    ref = plain.apply({"params": params}, x, training=False)
+    out = fused.apply({"params": params}, x, training=False)
+    for k in ref:
+        r = np.asarray(ref[k], np.float32)
+        o = np.asarray(out[k], np.float32)
+        np.testing.assert_allclose(r, o, rtol=5e-2, atol=1e-1, err_msg=k)
+
+
 def test_resnet50_fused_matches_unfused():
     """Whole-backbone equivalence: fused_blocks=True applies the kernel to
     every stride-1 block with filters>=128 and reproduces the unfused
