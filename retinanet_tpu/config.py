@@ -318,7 +318,17 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     parser.add_argument(
         "--schedule", type=str, default="constant",
         choices=["constant", "cosine", "warmup_cosine", "cyclical"])
+    parser.add_argument(
+        "--platform", type=str, default=None, metavar="NAME",
+        help="pin JAX to a platform (e.g. 'cpu') in-process; the "
+             "JAX_PLATFORMS env var is unreliable under platform plugins "
+             "that register at import time")
     args = parser.parse_args(argv)
+
+    # Process-level side effect, applied here so it lands before any
+    # device use by the caller (train.main builds the Trainer right after).
+    from retinanet_tpu.utils.cli import force_platform
+    force_platform(args.platform)
 
     cfg = Config()
     for dotted, value in [

@@ -27,7 +27,7 @@ from retinanet_tpu.train import Trainer, create_train_state
 logger = logging.getLogger(__name__)
 
 
-def load_detector(config: Config, loader, step=None) -> Detector:
+def load_detector(config: Config, loader, step=None, mesh=None) -> Detector:
     """Build a Detector from the experiment's latest (or given) checkpoint."""
     import os
 
@@ -42,7 +42,7 @@ def load_detector(config: Config, loader, step=None) -> Detector:
                 f"(latest available: {trainer.latest_checkpoint_step()})")
     state = create_train_state(trainer.model, config, jax.random.PRNGKey(0))
     state = trainer.restore_checkpoint(state, step)
-    return Detector(config, state.params, loader.class_names)
+    return Detector(config, state.params, loader.class_names, mesh=mesh)
 
 
 def main(argv=None):
@@ -85,12 +85,26 @@ def main(argv=None):
              "ResNet backbone (1 HBM read + 1 write per identity block); "
              "checkpoint-compatible with the unfused model")
     parser.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard eval batches over ALL local devices (params replicated, "
+             "batch split on a 1-D data mesh; no collectives — decode/NMS "
+             "are per-image).  batch-size must be divisible by the device "
+             "count.")
+    parser.add_argument(
         "--dump-detections", type=str, default=None, metavar="PATH",
         help="also write every detection in canonical COCO-results JSON "
              "([{image_id, category_id, bbox [x,y,w,h], score}]) so the "
              "built-in evaluator can be cross-checked offline with "
              "pycocotools (COCO.loadRes + COCOeval)")
+    parser.add_argument(
+        "--platform", type=str, default=None, metavar="NAME",
+        help="pin JAX to a platform (e.g. 'cpu') in-process; the "
+             "JAX_PLATFORMS env var is unreliable under platform plugins "
+             "that register at import time")
     args = parser.parse_args(argv)
+
+    from retinanet_tpu.utils.cli import force_platform
+    force_platform(args.platform)
 
     config = Config()
     for dotted, value in [
@@ -110,7 +124,12 @@ def main(argv=None):
     # Evaluation mode: crowd annotations become ignore regions (COCO eval
     # protocol) rather than being dropped (the training behaviour).
     loader = Inferred(args.dataset[0], args.dataset[1:], include_crowds=True)
-    detector = load_detector(config, loader, args.step)
+    mesh = None
+    if args.data_parallel:
+        from retinanet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        logger.info("data-parallel serving over %d devices", mesh.size)
+    detector = load_detector(config, loader, args.step, mesh=mesh)
     sink = None
     dump: list = []
     if args.dump_detections:

@@ -29,12 +29,21 @@ from retinanet_tpu.ops.nms import BoxesDecoded, decode_levels, nms_padded
 
 
 def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
-                      use_pallas: Optional[bool] = None):
+                      use_pallas: Optional[bool] = None, mesh=None):
     """(params, images [B,H,W,3]) → BoxesDecoded, fully jit-compiled.
 
     ``use_pallas=None`` defers to ``config.nms.use_pallas`` (default: the
     fori_loop fallback, which out-measures the Pallas suppression kernel
     at every batch size after the packed-key decode — see NMSConfig).
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` for data-parallel serving —
+    params replicated, the batch (and every per-image output) sharded over
+    the mesh axis.  Decode + NMS are purely per-image, so the sharded
+    program needs NO collectives: XLA runs one independent shard per device
+    (equivalence-tested 8-way vs 1 in ``tests/test_parallel.py``).  The
+    reference's serving story was single-GPU only (it had none at all —
+    ``model_fn`` handles TRAIN exclusively, ``/root/reference/train.py:207``).
+    Batch size must be divisible by the mesh size.
     """
     nms_cfg = config.nms
 
@@ -54,14 +63,19 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
                                 levels, images.shape[1:3], nms_cfg,
                                 use_pallas=up)
 
-    return jax.jit(infer)
+    if mesh is None:
+        return jax.jit(infer)
+    from retinanet_tpu.parallel.mesh import batch_sharding, replicated
+    batch = batch_sharding(mesh)
+    return jax.jit(infer, in_shardings=(replicated(mesh), batch),
+                   out_shardings=batch)
 
 
 class Detector:
     """User-facing inference wrapper."""
 
     def __init__(self, config: Config, params, class_names: List[str],
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, mesh=None):
         self.config = config
         self.class_names = class_names
         self.levels = build_levels(config.anchors)
@@ -69,8 +83,12 @@ class Detector:
             config.model, num_anchors=self.levels.num_anchors,
             num_classes=len(class_names))
         self.params = params
+        if mesh is not None and config.data.batch_size % mesh.size:
+            raise ValueError(
+                f"data-parallel serving needs batch_size divisible by the "
+                f"mesh size ({config.data.batch_size} % {mesh.size} != 0)")
         self._fn = make_inference_fn(self.model, self.levels, config,
-                                     use_pallas)
+                                     use_pallas, mesh=mesh)
 
     def __call__(self, images: np.ndarray) -> BoxesDecoded:
         """images: [B, S, S, 3] normalized float32 → device BoxesDecoded."""

@@ -43,6 +43,21 @@ def enable_compilation_cache(path: str = "~/.cache/retinanet_tpu_xla") -> None:
         pass
 
 
+def force_platform(name: str | None) -> None:
+    """Pin JAX to a platform in-process (``--platform cpu`` CLI flag).
+
+    The ``JAX_PLATFORMS`` env var is NOT reliable when a platform plugin
+    registers itself at import time (the axon TPU tunnel wins over the env
+    var); ``jax.config.update`` is authoritative as long as it runs before
+    the first device use — which is why every CLI applies this immediately
+    after arg parsing.  No-op when ``name`` is None/empty.
+    """
+    if name:
+        import jax
+
+        jax.config.update("jax_platforms", name)
+
+
 def get_num_devices() -> int:
     """TPU-native ``get_num_gpus`` (reference ``utils.py:311-315``): count of
     accelerator devices visible to JAX."""

@@ -125,3 +125,63 @@ def test_global_batch_from_local_matches_shard_batch():
     for x, y in zip(a, b):
         assert x.sharding == y.sharding
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_data_parallel_inference_matches_single_device():
+    """Data-parallel serving (make_inference_fn(mesh=...)): params
+    replicated, batch sharded 8-way — VALID detections must match the
+    single-device program (decode/NMS are per-image; no collectives).
+    Padding slots are implementation-defined and excluded: the per-shard
+    program compiles at batch 1, so XLA's conv tilings differ from the
+    batch-8 program by float ulps, which scrambles garbage rows only."""
+    from retinanet_tpu.config import NMSConfig
+    from retinanet_tpu.infer import make_inference_fn
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                          dropout_rate=0.0, compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=8),
+        # Random-init class probs sit near the pi=0.01 prior; drop the
+        # decode threshold so every image yields real detections.
+        nms=NMSConfig(score_threshold=0.005),
+    )
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        training=False)["params"]
+    images = np.random.RandomState(1).randn(8, 64, 64, 3).astype(np.float32)
+
+    single = make_inference_fn(model, levels, cfg)(params, images)
+    mesh = make_mesh()
+    sharded_fn = make_inference_fn(model, levels, cfg, mesh=mesh)
+    sharded = sharded_fn(params, jnp.asarray(images))
+
+    assert sharded.boxes.sharding.spec == batch_sharding(mesh).spec
+    total = 0
+    for i in range(8):
+        v1 = np.asarray(single.valid[i])
+        v2 = np.asarray(sharded.valid[i])
+        assert v1.sum() == v2.sum(), f"image {i} detection count"
+        total += int(v1.sum())
+        for field, tol in (("scores", 1e-5), ("boxes", 1e-4),
+                           ("class_ids", 0)):
+            a = np.asarray(getattr(single, field)[i])[v1]
+            b = np.asarray(getattr(sharded, field)[i])[v2]
+            np.testing.assert_allclose(a, b, atol=tol,
+                                       err_msg=f"image {i} {field}")
+    assert total > 0, "test vacuous: no valid detections"
+
+
+def test_detector_mesh_batch_divisibility_check():
+    import pytest
+
+    from retinanet_tpu.infer import Detector
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                          dropout_rate=0.0, compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=6),  # 6 % 8 != 0
+    )
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="divisible"):
+        Detector(cfg, params=None, class_names=["a", "b", "c"], mesh=mesh)

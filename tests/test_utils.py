@@ -178,3 +178,20 @@ def test_step_timer():
     assert t.tick() is not None
     stats = t.stats(batch_size=4)
     assert "images_per_sec" in stats and stats["images_per_sec"] > 0
+
+
+def test_platform_flag_parses_and_forces_cpu():
+    """--platform plumbs through config_from_args / force_platform.  The
+    conftest already pins jax_platforms='cpu', so forcing 'cpu' again must
+    be a visible no-op (and prove the flag reaches jax.config)."""
+    import jax
+
+    from retinanet_tpu.config import config_from_args
+    from retinanet_tpu.utils.cli import force_platform
+
+    force_platform(None)  # no-op path
+    cfg = config_from_args([
+        "--dataset", "shapes", "/tmp/x", "8", "64",
+        "--experiment", "/tmp/e", "--platform", "cpu"])
+    assert cfg.data.dataset[0] == "shapes"
+    assert jax.config.jax_platforms == "cpu"
