@@ -71,3 +71,15 @@ def test_detect_load_batch_geometry(tmp_path):
     # Padding region (below the 32 resized rows) is exactly the
     # normalized zero-pixel.
     assert np.allclose(canvases[0, 40:], canvases[0, 63, 63])
+
+
+def test_debug_input_cli_renders(tmp_path):
+    """debug_input (pipeline visualizer CLI): renders per-sample box and
+    per-level trainable-mask PNGs for the shapes pipeline."""
+    from retinanet_tpu.debug_input import main
+
+    out = str(tmp_path / "viz")
+    main(["--out", out, "--num-samples", "1", "--size", "64"])
+    files = os.listdir(out)
+    assert any("boxes" in f for f in files)
+    assert any("trainable" in f for f in files)
