@@ -72,9 +72,16 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="run a trained detector on image files")
     parser.add_argument("images", nargs="+", help="image files (jpg/png)")
-    parser.add_argument("--experiment", type=str, required=True)
+    parser.add_argument("--experiment", type=str, default=None)
+    parser.add_argument(
+        "--from-export", type=str, default=None, metavar="PATH.npz",
+        help="serve from a single-file export (python -m retinanet_tpu."
+             "export) instead of an experiment checkpoint dir; backbone/"
+             "scale/class names come from the artifact")
     parser.add_argument("--backbone", type=str, default="resnet_50")
-    parser.add_argument("--scale", type=int, default=600)
+    parser.add_argument("--scale", type=int, default=None,
+                        help="serving canvas size (default 600, or the "
+                             "export artifact's recorded size)")
     parser.add_argument("--step", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=8,
                         help="images per compiled inference batch")
@@ -106,22 +113,38 @@ def main(argv=None):
     force_platform(args.platform)
     enable_compilation_cache()
 
-    class_names = _resolve_class_names(args)
     from retinanet_tpu.config import Config, _apply_dotted
+    if args.from_export is None and args.experiment is None:
+        raise SystemExit("need --experiment (checkpoint dir) or "
+                         "--from-export (serving artifact)")
+    scale = args.scale
+    if scale is None:
+        scale = 600
+        if args.from_export:
+            import json as _json
+            meta_raw = np.load(args.from_export)["__retinanet_tpu_meta__"]
+            scale = int(_json.loads(bytes(meta_raw).decode())["image_size"])
+
     config = Config()
     for dotted, value in [
-        ("data.image_size", args.scale),
+        ("data.image_size", scale),
         ("data.batch_size", args.batch_size),
         ("model.backbone", args.backbone),
         ("model.quantize", args.quantize),
-        ("train.experiment", args.experiment),
+        ("train.experiment", args.experiment or ""),
         ("nms.score_threshold", args.score_threshold),
         ("nms.use_approx_top_k", bool(args.approx_top_k)),
     ]:
         config = _apply_dotted(config, dotted, value)
 
-    from retinanet_tpu.evaluate import load_detector
-    detector = load_detector(config, _Names(class_names), args.step)
+    if args.from_export:
+        from retinanet_tpu.export import load_exported_detector
+        detector = load_exported_detector(args.from_export, config=config)
+        class_names = detector.class_names
+    else:
+        class_names = _resolve_class_names(args)
+        from retinanet_tpu.evaluate import load_detector
+        detector = load_detector(config, _Names(class_names), args.step)
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -132,7 +155,7 @@ def main(argv=None):
     bs = args.batch_size
     for start in range(0, len(args.images), bs):
         chunk = args.images[start:start + bs]
-        canvases, scales, originals = _load_batch(chunk, args.scale)
+        canvases, scales, originals = _load_batch(chunk, scale)
         if len(chunk) < bs:  # pad the last chunk to the compiled batch shape
             pad = bs - len(chunk)
             canvases = np.concatenate(

@@ -1,0 +1,100 @@
+"""Single-file serving export (retinanet_tpu/export.py): bitwise param
+round-trip, metadata, CLI, and detect --from-export."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from retinanet_tpu.config import Config, DataConfig, ModelConfig
+from retinanet_tpu.export import export_model, load_exported
+from retinanet_tpu.models.retinanet import RetinaNet
+from retinanet_tpu.ops.anchors import build_levels
+
+
+def _tiny_params(num_classes=3):
+    cfg = ModelConfig(backbone="mobilenet_v2", num_classes=num_classes,
+                      dropout_rate=0.0)
+    levels = build_levels(Config().anchors)
+    model = RetinaNet.from_config(cfg, num_anchors=levels.num_anchors,
+                                  num_classes=num_classes)
+    return model.init(jax.random.PRNGKey(3),
+                      jnp.zeros((1, 64, 64, 3)), training=False)["params"]
+
+
+def test_export_roundtrip_bitwise(tmp_path):
+    params = _tiny_params()
+    path = str(tmp_path / "m.npz")
+    n = export_model(params, ["a", "b", "c"], "mobilenet_v2", 64, path)
+    assert n > 50  # a real model, not a stub
+
+    meta, restored, class_names, image_size = load_exported(path)
+    assert meta["format"] == "retinanet_tpu_export_v1"
+    assert class_names == ["a", "b", "c"]
+    assert image_size == 64
+
+    orig = jax.tree_util.tree_leaves_with_path(params)
+    got = {"/".join(str(getattr(k, "key", k)) for k in p): v
+           for p, v in jax.tree_util.tree_leaves_with_path(restored)}
+    assert len(got) == len(orig)
+    for p, v in orig:
+        name = "/".join(str(getattr(k, "key", k)) for k in p)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(got[name]),
+                                      err_msg=name)
+
+
+def test_export_rejects_shape_mismatch(tmp_path):
+    params = _tiny_params(num_classes=3)
+    path = str(tmp_path / "m.npz")
+    # Lie about the class count: head kernels won't match the rebuilt model.
+    export_model(params, ["a", "b"], "mobilenet_v2", 64, path)
+    with pytest.raises(ValueError, match="shape"):
+        load_exported(path)
+
+
+def test_export_rejects_foreign_npz(tmp_path):
+    path = str(tmp_path / "foreign.npz")
+    np.savez(path, x=np.zeros((3,)))
+    with pytest.raises(ValueError, match="not a retinanet_tpu export"):
+        load_exported(path)
+
+
+def test_export_cli_and_detect_from_export(tmp_path):
+    """Full loop: train 2 steps → export CLI → detect --from-export."""
+    from retinanet_tpu.config import TrainConfig
+    from retinanet_tpu.data.loaders.shapes import Shapes
+    from retinanet_tpu.train import Trainer
+
+    exp = str(tmp_path / "exp")
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                          dropout_rate=0.0),
+        data=DataConfig(image_size=64, batch_size=2),
+        train=TrainConfig(experiment=exp, learning_rate=1e-3),
+    )
+    loader = Shapes(None, 4, (64, 64))
+    Trainer(cfg, loader=loader).fit(epochs=1, steps_per_epoch=2)
+
+    from retinanet_tpu.export import main as export_main
+    artifact = str(tmp_path / "model.npz")
+    export_main(["--experiment", exp, "--backbone", "mobilenet_v2",
+                 "--scale", "64",
+                 "--class-names", ",".join(loader.class_names),
+                 "--out", artifact])
+    assert os.path.exists(artifact)
+
+    img = str(tmp_path / "in.png")
+    sample = next(iter(loader))
+    Image.fromarray(sample["image"].astype(np.uint8)).save(img)
+
+    from retinanet_tpu.detect import main as detect_main
+    dump = str(tmp_path / "dets.json")
+    detect_main([img, "--from-export", artifact, "--batch-size", "1",
+                 "--score-threshold", "0.003", "--dump-json", dump])
+    dets = json.load(open(dump))
+    assert len(dets) > 0
+    assert dets[0]["class"] in loader.class_names
