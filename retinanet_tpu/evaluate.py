@@ -51,7 +51,12 @@ def main(argv=None):
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, nargs="+", required=True)
-    parser.add_argument("--experiment", type=str, required=True)
+    parser.add_argument("--experiment", type=str, default=None)
+    parser.add_argument(
+        "--from-export", type=str, default=None, metavar="PATH.npz",
+        help="evaluate a single-file serving artifact (python -m "
+             "retinanet_tpu.export) instead of an experiment checkpoint; "
+             "the artifact's class set must match the dataset's")
     parser.add_argument("--scale", type=int, default=600)
     parser.add_argument("--backbone", type=str, default="resnet_50")
     parser.add_argument("--batch-size", type=int, default=8)
@@ -113,7 +118,7 @@ def main(argv=None):
         ("data.batch_size", args.batch_size),
         ("model.backbone", args.backbone),
         ("model.quantize", args.quantize),
-        ("train.experiment", args.experiment),
+        ("train.experiment", args.experiment or ""),
         ("nms.score_threshold", args.decode_threshold),
         ("nms.use_approx_top_k", bool(args.approx_top_k)),
         ("nms.use_approx_global_top_k", bool(args.approx_global_top_k)),
@@ -129,7 +134,20 @@ def main(argv=None):
         from retinanet_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
         logger.info("data-parallel serving over %d devices", mesh.size)
-    detector = load_detector(config, loader, args.step, mesh=mesh)
+    if args.from_export:
+        from retinanet_tpu.export import load_exported_detector
+        detector = load_exported_detector(args.from_export, config=config,
+                                          mesh=mesh)
+        if list(detector.class_names) != list(loader.class_names):
+            # Order matters: class ids are positional.
+            raise SystemExit(
+                f"export classes {detector.class_names} do not match the "
+                f"dataset's {loader.class_names} (same names, same order)")
+    elif args.experiment:
+        detector = load_detector(config, loader, args.step, mesh=mesh)
+    else:
+        raise SystemExit("need --experiment (checkpoint dir) or "
+                         "--from-export (serving artifact)")
     sink = None
     dump: list = []
     if args.dump_detections:
