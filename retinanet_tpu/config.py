@@ -179,6 +179,10 @@ class TrainConfig:
     # build_summary, train.py:164-187).  Off by default: it runs an extra
     # forward+decode program.
     image_summaries: bool = False
+    # Capture a jax.profiler trace of N hot steps (after the compile steps)
+    # into <experiment>/profile — view with TensorBoard's profile plugin.
+    # 0 = off.  The reference had no profiling at all.
+    profile_steps: int = 0
     experiment: str = "experiments/default"
     seed: int = 42
 
@@ -323,6 +327,10 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         help="pin JAX to a platform (e.g. 'cpu') in-process; the "
              "JAX_PLATFORMS env var is unreliable under platform plugins "
              "that register at import time")
+    parser.add_argument(
+        "--profile", type=int, default=0, metavar="N",
+        help="capture a jax.profiler trace of N hot train steps into "
+             "<experiment>/profile (TensorBoard profile plugin)")
     args = parser.parse_args(argv)
 
     # Process-level side effect, applied here so it lands before any
@@ -346,6 +354,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("train.seed", args.seed),
         ("train.schedule", args.schedule),
         ("train.log_every", args.log_every),
+        ("train.profile_steps", args.profile),
         ("data.augment_photometric", bool(args.augment_photometric)),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)

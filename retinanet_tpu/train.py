@@ -558,6 +558,14 @@ class Trainer:
         step_rng = jax.device_put(jax.random.PRNGKey(cfg.train.seed + 1),
                                   repl)
         t_last = time.time()
+        # Optional jax.profiler capture of N hot steps (train.profile_steps /
+        # --profile N).  Starts 2 steps in, past the jit_full/jit_light
+        # compile steps, so the trace holds steady-state device work only.
+        # (The reference had no profiling; its author tuned blind.)
+        profile_from = (py_step + 3 if cfg.train.profile_steps > 0
+                        and self.is_lead else None)
+        profile_dir = os.path.join(cfg.train.experiment, "profile")
+        profiling = False
         for epoch in range(epochs):
             logger.info("epoch %d", epoch)
             for i, (device_batch, batch) in enumerate(
@@ -565,12 +573,25 @@ class Trainer:
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
                 step = py_step + 1
+                if profile_from is not None and not profiling \
+                        and step == profile_from:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                    logger.info("profiling %d steps -> %s",
+                                cfg.train.profile_steps, profile_dir)
                 # Log on cadence and always on the first step, so short runs
                 # still produce metrics records.
                 will_log = step % cfg.train.log_every == 0 or step == 1
                 jitted = jit_full if will_log else jit_light
                 state, metrics = jitted(state, *device_batch, step_rng)
                 py_step = step
+                if profiling and step >= profile_from \
+                        + cfg.train.profile_steps - 1:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_from = None
 
                 if will_log and self.is_lead:
                     metrics = jax.device_get(metrics)
@@ -592,6 +613,9 @@ class Trainer:
                     self.save_checkpoint(state)
                     if cfg.train.image_summaries and self.is_lead:
                         self.write_image_summaries(state, batch)
+        if profiling:  # run ended inside the requested window
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
         self.save_checkpoint(state)
         self.wait_for_checkpoints()
         return state

@@ -405,3 +405,16 @@ def test_benchmark_train_pipeline_runs(tmp_path):
                                    num_classes=4, num_images=12)
     assert out["images_per_sec"] > 0
     assert out["batch_size"] == 2
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """--profile N (train.profile_steps): a jax.profiler trace of the hot
+    steps lands under <experiment>/profile."""
+    cfg = _tiny_config(tmp_path, profile_steps=2)
+    loader = Shapes(None, 16, (64, 64))
+    Trainer(cfg, loader=loader).fit(epochs=1, steps_per_epoch=6)
+
+    prof = os.path.join(str(tmp_path), "profile")
+    assert os.path.isdir(prof)
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]
+    assert any(f.endswith(".xplane.pb") or ".trace" in f for f in found), found
