@@ -20,7 +20,7 @@ import argparse
 import json
 import logging
 import os
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -121,9 +121,8 @@ def main(argv=None):
     if scale is None:
         scale = 600
         if args.from_export:
-            import json as _json
-            meta_raw = np.load(args.from_export)["__retinanet_tpu_meta__"]
-            scale = int(_json.loads(bytes(meta_raw).decode())["image_size"])
+            from retinanet_tpu.export import read_meta
+            scale = int(read_meta(args.from_export)["image_size"])
 
     config = Config()
     for dotted, value in [
@@ -152,7 +151,10 @@ def main(argv=None):
     from PIL import Image
 
     all_detections = []
-    bs = args.batch_size
+    used_names: Dict[str, int] = {}
+    # Don't pad a short image list up to the full --batch-size: one photo
+    # through the default batch-8 program would waste 8x the FLOPs.
+    bs = min(args.batch_size, len(args.images))
     for start in range(0, len(args.images), bs):
         chunk = args.images[start:start + bs]
         canvases, scales, originals = _load_batch(chunk, scale)
@@ -184,7 +186,13 @@ def main(argv=None):
                 annotated = draw_bounding_boxes(
                     original, rel, det["class_ids"], class_names,
                     scores=det["scores"])
-                name = os.path.splitext(os.path.basename(path))[0] + ".det.png"
+                base = os.path.splitext(os.path.basename(path))[0]
+                # Inputs from different directories can share a basename;
+                # suffix repeats so no requested output is overwritten.
+                k = used_names.get(base, 0)
+                used_names[base] = k + 1
+                name = (f"{base}.det.png" if k == 0
+                        else f"{base}-{k}.det.png")
                 Image.fromarray(annotated).save(os.path.join(args.out, name))
 
     if args.dump_json:

@@ -40,6 +40,12 @@ def load_detector(config: Config, loader, step=None, mesh=None) -> Detector:
             raise FileNotFoundError(
                 f"no checkpoint at step {step} in {trainer.checkpoint_dir} "
                 f"(latest available: {trainer.latest_checkpoint_step()})")
+    elif trainer.latest_checkpoint_step() is None:
+        # Without this, restore_checkpoint would silently return the
+        # random-init state and the caller would serve garbage with rc=0.
+        raise FileNotFoundError(
+            f"no checkpoints in {trainer.checkpoint_dir} — wrong "
+            f"--experiment path, or the run never saved one")
     state = create_train_state(trainer.model, config, jax.random.PRNGKey(0))
     state = trainer.restore_checkpoint(state, step)
     return Detector(config, state.params, loader.class_names, mesh=mesh)
@@ -57,7 +63,9 @@ def main(argv=None):
         help="evaluate a single-file serving artifact (python -m "
              "retinanet_tpu.export) instead of an experiment checkpoint; "
              "the artifact's class set must match the dataset's")
-    parser.add_argument("--scale", type=int, default=600)
+    parser.add_argument("--scale", type=int, default=None,
+                        help="eval canvas size (default 600, or the export "
+                             "artifact's recorded serving size)")
     parser.add_argument("--backbone", type=str, default="resnet_50")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--max-images", type=int, default=None)
@@ -111,10 +119,19 @@ def main(argv=None):
     from retinanet_tpu.utils.cli import force_platform
     force_platform(args.platform)
 
+    scale = args.scale
+    if scale is None:
+        # The export artifact records its serving canvas; honor it so the
+        # artifact evaluates under the geometry it was built for.
+        scale = 600
+        if args.from_export:
+            from retinanet_tpu.export import read_meta
+            scale = int(read_meta(args.from_export)["image_size"])
+
     config = Config()
     for dotted, value in [
         ("data.dataset", tuple(args.dataset)),
-        ("data.image_size", args.scale),
+        ("data.image_size", scale),
         ("data.batch_size", args.batch_size),
         ("model.backbone", args.backbone),
         ("model.quantize", args.quantize),

@@ -36,7 +36,14 @@ def _leaf_path(path) -> str:
 
 def export_model(params, class_names: List[str], backbone: str,
                  image_size: int, path: str) -> int:
-    """Write params + metadata as one npz; returns the leaf count."""
+    """Write params + metadata as one npz; returns the leaf count.
+
+    The file always lands at a ``.npz`` path (np.savez appends the
+    extension itself — normalizing here keeps the logged path, the --out
+    argument, and the actual file identical).
+    """
+    if not path.endswith(".npz"):
+        path += ".npz"
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays: Dict[str, np.ndarray] = {
         _leaf_path(p): np.asarray(v) for p, v in flat}
@@ -49,6 +56,15 @@ def export_model(params, class_names: List[str], backbone: str,
     np.savez(path, **arrays)
     logger.info("exported %d param tensors + meta to %s", len(flat), path)
     return len(flat)
+
+
+def read_meta(path: str) -> dict:
+    """Read just the metadata record of an export file."""
+    data = np.load(path)
+    if _META_KEY not in data:
+        raise ValueError(f"{path} is not a retinanet_tpu export "
+                         f"(missing {_META_KEY})")
+    return json.loads(bytes(data[_META_KEY]).decode())
 
 
 def load_exported(path: str) -> Tuple[dict, object, List[str], int]:
@@ -65,10 +81,7 @@ def load_exported(path: str) -> Tuple[dict, object, List[str], int]:
     from retinanet_tpu.ops.anchors import build_levels
 
     data = np.load(path)
-    if _META_KEY not in data:
-        raise ValueError(f"{path} is not a retinanet_tpu export "
-                         f"(missing {_META_KEY})")
-    meta = json.loads(bytes(data[_META_KEY]).decode())
+    meta = read_meta(path)
     class_names = list(meta["class_names"])
 
     config = Config()

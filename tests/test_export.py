@@ -140,3 +140,33 @@ def test_evaluate_from_export(tmp_path):
     with pytest.raises(SystemExit, match="order"):
         eval_main(["--dataset", *ds, "--from-export", artifact,
                    "--scale", "64", "--batch-size", "2"])
+
+
+def test_export_normalizes_npz_extension(tmp_path):
+    params = _tiny_params()
+    path = str(tmp_path / "artifact")  # no extension
+    export_model(params, ["a", "b", "c"], "mobilenet_v2", 64, path)
+    assert os.path.exists(path + ".npz")
+    meta, *_ = load_exported(path + ".npz")
+    assert meta["backbone"] == "mobilenet_v2"
+
+
+def test_load_detector_fails_fast_without_checkpoints(tmp_path):
+    """Missing-checkpoint experiment dirs must error, not silently serve
+    random-init weights."""
+    from retinanet_tpu.data.loaders.shapes import Shapes
+    from retinanet_tpu.evaluate import load_detector
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                          dropout_rate=0.0),
+        data=DataConfig(image_size=64, batch_size=2),
+    )
+    import dataclasses
+
+    from retinanet_tpu.config import TrainConfig
+    cfg = dataclasses.replace(
+        cfg, train=TrainConfig(experiment=str(tmp_path / "nope")))
+    loader = Shapes(None, 4, (64, 64))
+    with pytest.raises(FileNotFoundError, match="no checkpoints"):
+        load_detector(cfg, loader)
