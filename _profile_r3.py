@@ -523,7 +523,8 @@ def blockfuse(batch=128, size=640):
     a = jax.device_get(full(params, images[:8]))
     bb = jax.device_get(full_f(params, images[:8]))
     for k in ("boxes", "scores", "class_ids"):
-        x, y = np.asarray(a[k], np.float32), np.asarray(bb[k], np.float32)
+        x = np.asarray(getattr(a, k), np.float32)
+        y = np.asarray(getattr(bb, k), np.float32)
         print(f"{k}: max|Δ| {np.abs(x - y).max():.4g}", flush=True)
 
 

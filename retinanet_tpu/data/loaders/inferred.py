@@ -40,6 +40,13 @@ class Inferred(Base):
     def class_names(self) -> List[str]:
         return self._dl.class_names
 
+    @property
+    def coco_category_ids(self):
+        """Original COCO category ids (contiguous-index order) when the
+        wrapped loader knows them; None otherwise.  Forwarded so
+        ``evaluate --dump-detections`` emits canonical category ids."""
+        return getattr(self._dl, "coco_category_ids", None)
+
     def __len__(self) -> int:
         return len(self._dl)
 

@@ -42,6 +42,23 @@ def get_activation(name: str) -> Callable[[Array], Array]:
     }[name]
 
 
+def resolve_groups(c: int, groups: int = 32) -> int:
+    """Canonical GroupNorm group count: ``min(groups, c)`` then the largest
+    divisor of ``c``.
+
+    The reference reshapes to [n,h,w,G,C//G] without checking divisibility
+    (``normalization.py:27``) — a latent runtime error for e.g.
+    MobileNetV2's 144-channel expansions.  Every path that derives a group
+    count (XLA GroupNorm here, the fused Pallas bottleneck kernel) MUST use
+    this one helper so serving normalizes exactly as the checkpoint
+    trained.
+    """
+    g = min(groups, c)
+    while c % g:
+        g -= 1
+    return g
+
+
 class GroupNorm(nn.Module):
     """Reference-exact GroupNorm (``normalization.py:4-35``), with an
     optional fused activation.
@@ -70,13 +87,7 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array, *, params_only: bool = False):
         n, h, w, c = x.shape
-        groups = min(self.groups, c)
-        # The reference reshapes to [n,h,w,G,C//G] without checking
-        # divisibility (normalization.py:27), which is a latent runtime error
-        # for e.g. MobileNetV2's 144-channel expansions.  Use the largest
-        # divisor of C not exceeding the requested group count instead.
-        while c % groups:
-            groups -= 1
+        groups = resolve_groups(c, self.groups)
 
         gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)

@@ -40,13 +40,9 @@ from jax import Array
 from jax.experimental import pallas as pl
 
 
-def resolve_groups(c: int, groups: int = 32) -> int:
-    """GroupNorm group count: ``min(groups, c)`` then the largest divisor
-    of ``c`` (same logic as ``models/layers.GroupNorm``)."""
-    g = min(groups, c)
-    while c % g:
-        g -= 1
-    return g
+# Group-count policy is owned by models/layers.resolve_groups — one
+# definition for the XLA and fused paths, so they can never diverge.
+from retinanet_tpu.models.layers import resolve_groups  # noqa: E402,F401
 
 
 def _gn_act(y: Array, gamma: Array, beta: Array, groups: int, eps: float,

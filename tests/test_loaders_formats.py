@@ -222,3 +222,19 @@ def test_coco_eval_mode_yields_empty_images(tmp_path):
             "class_ids": np.zeros((0,), int)})
     out = ev.summarize()
     assert 0 < out["mAP"] < 1.0
+
+
+def test_inferred_forwards_coco_category_ids(coco_fixture):
+    """Inferred must forward the wrapped COCO loader's original category
+    ids (evaluate --dump-detections emits canonical ids through it) and
+    return None for loaders without the concept."""
+    from retinanet_tpu.data.loaders.inferred import Inferred
+
+    ann, imgs = coco_fixture
+    wrapped = Inferred("coco", [ann, imgs])
+    direct = COCO(ann, imgs)
+    assert wrapped.coco_category_ids == direct.coco_category_ids
+    assert list(wrapped.coco_category_ids) == [3, 7, 21]  # sorted originals
+
+    shapes = Inferred("shapes", ["/tmp/unused", "4", "64"])
+    assert shapes.coco_category_ids is None
