@@ -46,7 +46,18 @@ def main(argv=None):
                                   quantize=args.quantize,
                                   fused_blocks=args.fused_blocks),
         nms=dataclasses.replace(config.nms, use_approx_top_k=True))
-    on_tpu = jax.default_backend() == "tpu"
+    backend_note = None
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        # TPU plugin installed but the backend is unavailable (e.g. the
+        # tunnel is down): fall back to CPU so the bench still emits its
+        # one-line JSON record, explicitly labeled — a labeled CPU number
+        # beats a crash with no record at all.
+        backend_note = f"tpu unavailable, cpu fallback: {str(e)[:120]}"
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
+    on_tpu = backend == "tpu"
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
     # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.
     batch_size = 128 if on_tpu else 2
@@ -62,8 +73,10 @@ def main(argv=None):
                              / BASELINE_IMAGES_PER_SEC, 4),
         "p50_latency_ms": round(result["p50_latency_ms"], 2),
         "batch_size": result["batch_size"],
-        "backend": jax.default_backend(),
+        "backend": backend,
     }
+    if backend_note:
+        record["backend_note"] = backend_note
 
     # Serving latency: batch-1/8 p50 with the latency-specialized NMS caps
     # (smaller per-level top-k and pre-NMS cap; per-batch-size compiled
