@@ -141,6 +141,12 @@ class DataConfig:
     # brightness / contrast / saturation jitter, host-side, before resize.
     augment_photometric: bool = False
     photometric_strength: float = 0.25  # max relative jitter per factor
+    # Zoom-out scale jitter: each training image's resize factor is
+    # multiplied by U[1-j, 1] (downscale only — boxes stay in-canvas, no
+    # crop/clip semantics needed; static canvas unchanged).  0 = off.
+    # Beyond the reference (its augmentation is flip-only +
+    # "TODO: add augmentation", dataset.py:206-212).
+    augment_scale_jitter: float = 0.0
     mean: Tuple[float, float, float] = (0.46618041, 0.44669811, 0.40252436)
     std: Tuple[float, float, float] = (0.27940595, 0.27489075, 0.28920765)
     # Ship training batches to the device as uint8 and normalize on-device:
@@ -308,6 +314,10 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         help="random brightness/contrast/saturation jitter (host-side; "
              "the reference stubs this out)")
     parser.add_argument(
+        "--augment-scale-jitter", type=float, default=0.0, metavar="J",
+        help="zoom-out scale jitter: resize factor multiplied by U[1-J, 1] "
+             "per training image (0 = off)")
+    parser.add_argument(
         "--buckets", type=str, nargs="+", default=None, metavar="HxW",
         help="rectangular canvas buckets, e.g. --buckets 640x640 640x448 "
              "448x640; each image goes to the least-padding bucket and "
@@ -356,6 +366,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("train.log_every", args.log_every),
         ("train.profile_steps", args.profile),
         ("data.augment_photometric", bool(args.augment_photometric)),
+        ("data.augment_scale_jitter", args.augment_scale_jitter),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.workers is not None:

@@ -136,6 +136,7 @@ def pick_bucket(ih: int, iw: int, buckets) -> Tuple[int, int]:
 def process_sample(sample: Dict, image_size, mean: np.ndarray,
                    std: np.ndarray, max_boxes: int, flip: bool,
                    photometric: Optional[Tuple[float, float, float]] = None,
+                   scale_jitter: Optional[float] = None,
                    use_native: bool = True,
                    normalize_on_host: bool = True) -> Dict[str, np.ndarray]:
     """Decode/resize/pad/normalize one sample to static shapes.
@@ -160,6 +161,11 @@ def process_sample(sample: Dict, image_size, mean: np.ndarray,
     ch, cw = _canvas_hw(image_size)
 
     scale = min(ch / ih, cw / iw)
+    if scale_jitter is not None:
+        # Zoom-out augmentation: shrink the resize target; geometry below
+        # (boxes, padding, normalization) flows through unchanged, so
+        # labels stay exactly consistent with the rendered canvas.
+        scale *= min(max(scale_jitter, 1e-3), 1.0)
     nh, nw = max(1, round(ih * scale)), max(1, round(iw * scale))
     boxes = sample["boxes"].astype(np.float32) * scale  # canvas pixels
     class_ids = sample["class_ids"].astype(np.int32)
@@ -250,14 +256,18 @@ class Pipeline:
                 if cfg.augment_photometric and self.training:
                     s = cfg.photometric_strength
                     photometric = tuple(rng.uniform(1 - s, 1 + s, 3))
-                yield index, sample, flip, photometric
+                jitter = None
+                if cfg.augment_scale_jitter > 0 and self.training:
+                    jitter = float(
+                        1.0 - rng.uniform(0.0, cfg.augment_scale_jitter))
+                yield index, sample, flip, photometric, jitter
 
         def prepare(item):
-            index, sample, flip, photometric = item
+            index, sample, flip, photometric, jitter = item
             sample, canvas = select_canvas(sample, cfg)
             out = process_sample(
                 sample, canvas, self._mean, self._std, self.max_boxes,
-                flip, photometric=photometric,
+                flip, photometric=photometric, scale_jitter=jitter,
                 normalize_on_host=not (self.training
                                        and cfg.transfer_uint8))
             out["image_id"] = np.int64(index)

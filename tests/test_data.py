@@ -262,3 +262,49 @@ def test_training_pipeline_uint8_transfer():
     std = np.asarray(_cfg().std, np.float32)
     renorm = (train_b.images.astype(np.float32) / 255.0 - mean) / std
     np.testing.assert_allclose(renorm, eval_b.images, atol=2e-2)
+
+
+def test_process_sample_scale_jitter():
+    """Zoom-out jitter: resize factor (and therefore the rendered extent
+    AND the normalized boxes) shrink together — labels stay consistent
+    with the canvas; jitter 1.0 is the identity."""
+    image = np.full((100, 50, 3), 200, np.uint8)
+    sample = {"image": image,
+              "boxes": np.array([[10, 10, 60, 40]], np.float32),
+              "class_ids": np.array([1], np.int32)}
+    mean, std = np.zeros(3, np.float32), np.ones(3, np.float32)
+
+    base = process_sample(sample, 64, mean, std, max_boxes=10, flip=False)
+    same = process_sample(sample, 64, mean, std, max_boxes=10, flip=False,
+                          scale_jitter=1.0)
+    np.testing.assert_array_equal(base["image"], same["image"])
+    np.testing.assert_array_equal(base["boxes"], same["boxes"])
+
+    half = process_sample(sample, 64, mean, std, max_boxes=10, flip=False,
+                          scale_jitter=0.5)
+    np.testing.assert_allclose(half["scale"], 0.32, atol=1e-6)  # 0.64*0.5
+    np.testing.assert_allclose(half["boxes"][0], base["boxes"][0] * 0.5,
+                               atol=1e-6)
+    # Rendered content shrinks to 32x16; padding beyond is the zero pixel.
+    assert half["image"][:32, :16].mean() > half["image"][40:, 20:].mean()
+    assert np.allclose(half["image"][40:, 20:], half["image"][63, 63])
+
+
+def test_pipeline_scale_jitter_applied_and_reproducible():
+    dl = Shapes(None, 6, (64, 64))
+    cfg_on = _cfg(augment_scale_jitter=0.5, shuffle_buffer=1)
+    cfg_off = _cfg(shuffle_buffer=1)
+    on1 = list(Pipeline(dl, cfg_on, max_boxes=8, seed=3).epoch(0))
+    on2 = list(Pipeline(dl, cfg_on, max_boxes=8, seed=3).epoch(0))
+    off = list(Pipeline(dl, cfg_off, max_boxes=8, seed=3).epoch(0))
+    for a, b in zip(on1, on2):  # deterministic under the seed
+        np.testing.assert_array_equal(a.images, b.images)
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+    # Jitter shrinks at least some boxes vs the unjittered pipeline.
+    assert any(not np.array_equal(a.boxes, b.boxes)
+               for a, b in zip(on1, off))
+    # Shrink only: every jittered box extent <= the unjittered extent.
+    for a, b in zip(on1, off):
+        ah = (a.boxes[..., 2] - a.boxes[..., 0])[a.box_mask]
+        bh = (b.boxes[..., 2] - b.boxes[..., 0])[b.box_mask]
+        assert (ah <= bh + 1e-6).all()
