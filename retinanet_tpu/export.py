@@ -35,8 +35,12 @@ def _leaf_path(path) -> str:
 
 
 def export_model(params, class_names: List[str], backbone: str,
-                 image_size: int, path: str) -> int:
+                 image_size: int, path: str, dtype: str = "float32") -> int:
     """Write params + metadata as one npz; returns the leaf count.
+
+    ``dtype="bfloat16"`` stores float leaves as bf16 (half the artifact
+    size; serving casts weights to the compute dtype anyway, and load
+    restores float32 views).  Non-float leaves keep their dtype.
 
     The file always lands at a ``.npz`` path (np.savez appends the
     extension itself — normalizing here keeps the logged path, the --out
@@ -44,12 +48,27 @@ def export_model(params, class_names: List[str], backbone: str,
     """
     if not path.endswith(".npz"):
         path += ".npz"
+    bf16_leaves: List[str] = []
+
+    def leaf(name, v):
+        v = np.asarray(v)
+        if dtype == "bfloat16" and np.issubdtype(v.dtype, np.floating):
+            import ml_dtypes
+            # np.savez silently degrades extension dtypes to raw void
+            # records ('|V2'), so bf16 travels as its uint16 bit pattern
+            # and the leaf list in meta says which arrays to view back.
+            bf16_leaves.append(name)
+            return v.astype(ml_dtypes.bfloat16).view(np.uint16)
+        return v
+
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays: Dict[str, np.ndarray] = {
-        _leaf_path(p): np.asarray(v) for p, v in flat}
+        _leaf_path(p): leaf(_leaf_path(p), v) for p, v in flat}
     meta = {"format": "retinanet_tpu_export_v1",
             "backbone": backbone,
             "image_size": int(image_size),
+            "dtype": dtype,
+            "bf16_leaves": bf16_leaves,
             "class_names": list(class_names)}
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta).encode(), np.uint8)
@@ -95,6 +114,7 @@ def load_exported(path: str) -> Tuple[dict, object, List[str], int]:
                           training=False)["params"]
 
     missing: List[str] = []
+    bf16_set = set(meta.get("bf16_leaves", ()))
 
     def replace(p, leaf):
         name = _leaf_path(p)
@@ -102,10 +122,15 @@ def load_exported(path: str) -> Tuple[dict, object, List[str], int]:
             missing.append(name)
             return leaf
         stored = data[name]
+        if name in bf16_set:
+            import ml_dtypes
+            stored = stored.view(ml_dtypes.bfloat16)
         if stored.shape != leaf.shape:
             raise ValueError(f"{name}: exported shape {stored.shape} != "
                              f"model shape {leaf.shape}")
-        return jnp.asarray(stored)
+        # bf16-stored artifacts come back at the model's param dtype
+        # (float32) — every bf16 value is exactly representable in f32.
+        return jnp.asarray(stored).astype(leaf.dtype)
 
     params = jax.tree_util.tree_map_with_path(replace, template)
     if missing:
@@ -150,6 +175,11 @@ def main(argv=None):
         "--dataset", type=str, nargs="+", default=None,
         help="alternative to --class-names: take names from a dataset spec")
     parser.add_argument("--out", type=str, required=True, metavar="PATH.npz")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype for float params (bfloat16 "
+                             "halves the artifact size; serving computes "
+                             "in bf16 regardless)")
     parser.add_argument("--platform", type=str, default=None, metavar="NAME",
                         help="pin JAX to a platform (e.g. 'cpu') in-process")
     args = parser.parse_args(argv)
@@ -172,7 +202,7 @@ def main(argv=None):
     from retinanet_tpu.evaluate import load_detector
     detector = load_detector(config, _Names(class_names), args.step)
     export_model(detector.params, class_names, args.backbone, args.scale,
-                 args.out)
+                 args.out, dtype=args.dtype)
 
 
 if __name__ == "__main__":

@@ -170,3 +170,30 @@ def test_load_detector_fails_fast_without_checkpoints(tmp_path):
     loader = Shapes(None, 4, (64, 64))
     with pytest.raises(FileNotFoundError, match="no checkpoints"):
         load_detector(cfg, loader)
+
+
+def test_export_bfloat16_dtype(tmp_path):
+    """bf16 artifact: ~half the size, loads back as float32 params whose
+    values are exact bf16 round-trips of the originals."""
+    import ml_dtypes
+
+    params = _tiny_params()
+    p32 = str(tmp_path / "f32.npz")
+    p16 = str(tmp_path / "bf16.npz")
+    export_model(params, ["a", "b", "c"], "mobilenet_v2", 64, p32)
+    export_model(params, ["a", "b", "c"], "mobilenet_v2", 64, p16,
+                 dtype="bfloat16")
+    # Compressed-free npz: the bf16 file must be close to half the size.
+    assert os.path.getsize(p16) < 0.65 * os.path.getsize(p32)
+
+    meta, restored, _, _ = load_exported(p16)
+    assert meta["dtype"] == "bfloat16"
+    got = {"/".join(str(getattr(k, "key", k)) for k in p): v
+           for p, v in jax.tree_util.tree_leaves_with_path(restored)}
+    for p, v in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(str(getattr(k, "key", k)) for k in p)
+        assert got[name].dtype == np.asarray(v).dtype  # back at f32
+        np.testing.assert_array_equal(
+            np.asarray(got[name]),
+            np.asarray(np.asarray(v).astype(ml_dtypes.bfloat16),
+                       np.float32), err_msg=name)
