@@ -28,7 +28,9 @@ class Inferred(Base):
             self._dl = COCO(*args, include_crowds=include_crowds)
         elif type == "pascal":
             from retinanet_tpu.data.loaders.pascal import Pascal
-            self._dl = Pascal(*args)
+            # Eval mode (include_crowds) is VOC's difficult-flags mode:
+            # both mark protocol-level ignore annotations.
+            self._dl = Pascal(*args, include_difficult_flags=include_crowds)
         elif type == "shapes":
             from retinanet_tpu.data.loaders.shapes import Shapes
             self._dl = Shapes(args[0], int(args[1]),

@@ -22,9 +22,17 @@ VOC_CLASSES = [
 
 
 class Pascal(Base):
-    def __init__(self, path: str, subset: str):
+    def __init__(self, path: str, subset: str,
+                 include_difficult_flags: bool = False):
+        """``include_difficult_flags`` is the VOC evaluation mode: samples
+        gain a ``difficult`` bool array (the official protocol ignores
+        difficult GTs — neither recall targets nor false-positive
+        sources).  Training keeps difficult objects as ordinary positives
+        either way — exactly the reference's behaviour, which never parses
+        the flag (``/root/reference/data_loaders/pascal.py:36-43``)."""
         self._path = path
         self._subset = subset
+        self._include_difficult_flags = include_difficult_flags
         with open(os.path.join(path, "ImageSets", "Main",
                                subset + ".txt")) as f:
             self._image_names = [line.strip().split()[0]
@@ -41,7 +49,7 @@ class Pascal(Base):
         for name in self._image_names:
             tree = ET.parse(os.path.join(self._path, "Annotations",
                                          name + ".xml"))
-            boxes, class_ids = [], []
+            boxes, class_ids, difficult = [], [], []
             for obj in tree.getroot().iter("object"):
                 t = float(obj.find("bndbox/ymin").text)
                 l = float(obj.find("bndbox/xmin").text)
@@ -49,9 +57,15 @@ class Pascal(Base):
                 r = float(obj.find("bndbox/xmax").text)
                 boxes.append([t, l, b, r])
                 class_ids.append(VOC_CLASSES.index(obj.find("name").text))
-            yield {
+                node = obj.find("difficult")
+                difficult.append(node is not None
+                                 and node.text.strip() == "1")
+            sample = {
                 "image_file": os.path.join(self._path, "JPEGImages",
                                            name + ".jpg"),
                 "class_ids": np.array(class_ids, np.int32),
                 "boxes": np.array(boxes, np.float32).reshape(-1, 4),
             }
+            if self._include_difficult_flags:
+                sample["difficult"] = np.array(difficult, bool)
+            yield sample

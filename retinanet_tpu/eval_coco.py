@@ -348,8 +348,13 @@ def evaluate_detections(
 
 def evaluate_model(detector, loader, config, max_images: int = None,
                    score_threshold: float = None,
-                   detections_sink=None) -> Dict[str, float]:
+                   detections_sink=None,
+                   protocol: str = "coco") -> Dict[str, float]:
     """Run the detector over a loader and compute mAP, streaming.
+
+    ``protocol="voc"`` swaps in the Pascal VOC evaluator (single 0.5-IoU
+    threshold, difficult-GT ignores, VOC07 11-point + VOC12 continuous
+    AP — see :mod:`retinanet_tpu.eval_voc`).
 
     One pass over the loader; each sample is preprocessed, batched (partial
     batches are padded to keep one compiled program per canvas), detected,
@@ -381,7 +386,13 @@ def evaluate_model(detector, loader, config, max_images: int = None,
     std = np.asarray(data_cfg.std, np.float32)
     batch_size = data_cfg.batch_size
 
-    evaluator = COCOEvaluator(loader.num_classes)
+    if protocol == "voc":
+        from retinanet_tpu.eval_voc import VOCEvaluator
+        evaluator = VOCEvaluator(loader.num_classes)
+    elif protocol == "coco":
+        evaluator = COCOEvaluator(loader.num_classes)
+    else:
+        raise ValueError(f"unknown eval protocol: {protocol!r}")
     # canvas (h, w) -> ([images], [scales], [gts])
     pending: Dict[tuple, tuple] = {}
 
@@ -416,6 +427,7 @@ def evaluate_model(detector, loader, config, max_images: int = None,
                     "class_ids": np.asarray(sample["class_ids"]),
                     "iscrowd": sample.get("iscrowd"),
                     "areas": sample.get("areas"),
+                    "difficult": sample.get("difficult"),
                     # Running index fallback keeps the dump usable for
                     # loaders without native ids (shapes, pascal).
                     "image_id": sample.get("image_id", i)})

@@ -114,6 +114,11 @@ def main(argv=None):
         help="pin JAX to a platform (e.g. 'cpu') in-process; the "
              "JAX_PLATFORMS env var is unreliable under platform plugins "
              "that register at import time")
+    parser.add_argument(
+        "--protocol", type=str, default="coco", choices=["coco", "voc"],
+        help="evaluation protocol: COCO (mAP@[.5:.95], area ranges, AR) or "
+             "Pascal VOC (AP@0.5 with difficult-GT ignores, VOC07 11-point "
+             "+ VOC12 continuous)")
     args = parser.parse_args(argv)
 
     from retinanet_tpu.utils.cli import force_platform
@@ -190,7 +195,8 @@ def main(argv=None):
     metrics = evaluate_model(detector, loader, config,
                              max_images=args.max_images,
                              score_threshold=args.score_threshold,
-                             detections_sink=sink)
+                             detections_sink=sink,
+                             protocol=args.protocol)
     if args.dump_detections:
         with open(args.dump_detections, "w") as f:
             json.dump(dump, f)

@@ -238,3 +238,38 @@ def test_inferred_forwards_coco_category_ids(coco_fixture):
 
     shapes = Inferred("shapes", ["/tmp/unused", "4", "64"])
     assert shapes.coco_category_ids is None
+
+
+def test_pascal_difficult_flags(tmp_path):
+    """VOC eval mode: the difficult flag is parsed and exposed; training
+    mode keeps difficult objects as ordinary positives with no extra key
+    (the reference never parses the flag, pascal.py:36-43)."""
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "ImageSets" / "Main" / "val.txt").write_text("im1\n")
+    (tmp_path / "Annotations" / "im1.xml").write_text("""<annotation>
+      <object><name>dog</name><difficult>1</difficult>
+        <bndbox><ymin>10</ymin><xmin>20</xmin><ymax>50</ymax><xmax>60</xmax>
+        </bndbox></object>
+      <object><name>cat</name><difficult>0</difficult>
+        <bndbox><ymin>1</ymin><xmin>2</xmin><ymax>30</ymax><xmax>40</xmax>
+        </bndbox></object>
+      <object><name>person</name>
+        <bndbox><ymin>5</ymin><xmin>6</xmin><ymax>70</ymax><xmax>80</xmax>
+        </bndbox></object>
+    </annotation>""")
+
+    train = next(iter(Pascal(str(tmp_path), "val")))
+    assert "difficult" not in train
+    assert len(train["boxes"]) == 3  # difficult kept as positives
+
+    eval_mode = next(iter(Pascal(str(tmp_path), "val",
+                                 include_difficult_flags=True)))
+    assert eval_mode["difficult"].tolist() == [True, False, False]
+
+    # Through the Inferred wrapper's eval mode, too.
+    from retinanet_tpu.data.loaders.inferred import Inferred
+    wrapped = next(iter(Inferred("pascal", [str(tmp_path), "val"],
+                                 include_crowds=True)))
+    assert wrapped["difficult"].tolist() == [True, False, False]
