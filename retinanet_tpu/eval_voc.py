@@ -45,7 +45,9 @@ def _match_image_voc(det_boxes: np.ndarray, det_scores: np.ndarray,
     used = np.zeros(len(gt_boxes), bool)
     for d in range(len(det_boxes)):
         g = int(np.argmax(iou[d])) if iou.shape[1] else -1
-        if g < 0 or iou[d, g] < iou_threshold:
+        # Official voc_eval accepts strictly ABOVE the threshold
+        # (``if ovmax > ovthresh``) — unlike pycocotools' >=.
+        if g < 0 or iou[d, g] <= iou_threshold:
             continue  # FP
         if gt_difficult[g]:
             det_ig[d] = True  # neither TP nor FP (voc_eval: continue)

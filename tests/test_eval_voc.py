@@ -107,3 +107,122 @@ def test_voc_perfect_detector_is_one():
     m = evaluate_detections_voc(dets, gts, num_classes=3)
     np.testing.assert_allclose(m["mAP_voc07"], 1.0, atol=1e-9)
     np.testing.assert_allclose(m["mAP_voc12"], 1.0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Independent cross-validation: a straight transliteration of the official
+# VOCdevkit/py-faster-rcnn ``voc_eval.py`` (global score sort across the
+# dataset, per-image R['det'] bookkeeping, ovmax/jmax matching) — none of
+# the streaming evaluator's restructurings.  Property tests drive both over
+# randomized fixtures (overlaps, ties, difficult flags) and require 1e-9
+# agreement on AP under both formulas.
+# ---------------------------------------------------------------------------
+
+def _voc_eval_reference(dets_by_image, gts_by_image, cls, iou_thr,
+                        use_07_metric):
+    """voc_eval for one class.  dets_by_image[i] = (boxes, scores, ids);
+    gts_by_image[i] = (boxes, ids, difficult)."""
+    class_recs = {}
+    npos = 0
+    for i, (gb, gc, gd) in enumerate(gts_by_image):
+        sel = gc == cls
+        bbox, difficult = gb[sel], gd[sel]
+        npos += int((~difficult).sum())
+        class_recs[i] = {"bbox": bbox, "difficult": difficult,
+                         "det": np.zeros(len(bbox), bool)}
+
+    image_ids, confidence, BB = [], [], []
+    for i, (db, ds, dc) in enumerate(dets_by_image):
+        sel = dc == cls
+        for b, s in zip(db[sel], ds[sel]):
+            image_ids.append(i)
+            confidence.append(s)
+            BB.append(b)
+    if npos == 0:
+        return np.nan
+    if not BB:
+        return 0.0
+    confidence = np.asarray(confidence)
+    BB = np.asarray(BB, np.float64)
+    sorted_ind = np.argsort(-confidence, kind="stable")
+    BB = BB[sorted_ind]
+    image_ids = [image_ids[x] for x in sorted_ind]
+
+    nd = len(image_ids)
+    tp, fp = np.zeros(nd), np.zeros(nd)
+    for d in range(nd):
+        R = class_recs[image_ids[d]]
+        bb = BB[d]
+        ovmax, jmax = -np.inf, -1
+        BBGT = R["bbox"].astype(np.float64)
+        if BBGT.size > 0:
+            iymin = np.maximum(BBGT[:, 0], bb[0])
+            ixmin = np.maximum(BBGT[:, 1], bb[1])
+            iymax = np.minimum(BBGT[:, 2], bb[2])
+            ixmax = np.minimum(BBGT[:, 3], bb[3])
+            ih = np.maximum(iymax - iymin, 0.0)
+            iw = np.maximum(ixmax - ixmin, 0.0)
+            inters = iw * ih
+            uni = ((bb[2] - bb[0]) * (bb[3] - bb[1])
+                   + (BBGT[:, 2] - BBGT[:, 0]) * (BBGT[:, 3] - BBGT[:, 1])
+                   - inters)
+            overlaps = inters / uni
+            ovmax = np.max(overlaps)
+            jmax = int(np.argmax(overlaps))
+        if ovmax > iou_thr:
+            if not R["difficult"][jmax]:
+                if not R["det"][jmax]:
+                    tp[d] = 1.0
+                    R["det"][jmax] = True
+                else:
+                    fp[d] = 1.0
+        else:
+            fp[d] = 1.0
+
+    fp = np.cumsum(fp)
+    tp = np.cumsum(tp)
+    rec = tp / float(npos)
+    prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    return voc_ap(rec, prec, use_07_metric)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_voc_evaluator_matches_reference_transliteration(seed):
+    rng = np.random.RandomState(seed)
+    num_classes, num_images = 4, 12
+    dets, gts = [], []
+    dets_by_image, gts_by_image = [], []
+    for _ in range(num_images):
+        ng = rng.randint(0, 6)
+        gb = np.zeros((ng, 4), np.float32)
+        if ng:
+            tl = rng.uniform(0, 150, (ng, 2))
+            wh = rng.uniform(5, 60, (ng, 2))
+            gb = np.concatenate([tl, tl + wh], -1).astype(np.float32)
+        gc = rng.randint(0, num_classes, ng)
+        gd = rng.rand(ng) < 0.25
+        nd = rng.randint(0, 10)
+        db = np.zeros((nd, 4), np.float32)
+        if nd:
+            if ng and rng.rand() < 0.7:
+                # Perturbed copies of GT boxes → realistic overlaps/ties.
+                src = gb[rng.randint(0, ng, nd)]
+                db = (src + rng.uniform(-8, 8, (nd, 4))).astype(np.float32)
+                db[:, 2:] = np.maximum(db[:, 2:], db[:, :2] + 1)
+            else:
+                tl = rng.uniform(0, 150, (nd, 2))
+                wh = rng.uniform(5, 60, (nd, 2))
+                db = np.concatenate([tl, tl + wh], -1).astype(np.float32)
+        ds = rng.choice([0.3, 0.5, 0.7, 0.9], nd).astype(np.float32)  # ties
+        dc = rng.randint(0, num_classes, nd)
+        dets.append({"boxes": db, "scores": ds, "class_ids": dc})
+        gts.append({"boxes": gb, "class_ids": gc, "difficult": gd})
+        dets_by_image.append((db, ds, dc))
+        gts_by_image.append((gb, gc, gd))
+
+    mine = evaluate_detections_voc(dets, gts, num_classes)
+    for key, use07 in (("mAP_voc07", True), ("mAP_voc12", False)):
+        aps = [_voc_eval_reference(dets_by_image, gts_by_image, c, 0.5,
+                                   use07) for c in range(num_classes)]
+        ref = float(np.nanmean(aps))
+        np.testing.assert_allclose(mine[key], ref, atol=1e-9, err_msg=key)
