@@ -298,6 +298,16 @@ class COCOEvaluator:
                                                         num_gt)
         return ap, ar
 
+    def per_class_ap(self) -> np.ndarray:
+        """[num_classes] mAP@[.5:.95] per class (nan = no GT) — the
+        COCO-protocol per-category diagnostic (cocoeval's precision
+        matrix averaged per catId)."""
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ap_all, _ = self._ap_matrix("all", self.max_dets[-1])
+            return np.nanmean(ap_all, axis=1)
+
     def summarize(self) -> Dict[str, float]:
         thr = self.iou_thresholds
         idx50 = int(np.argmin(np.abs(thr - 0.5)))
@@ -349,7 +359,8 @@ def evaluate_detections(
 def evaluate_model(detector, loader, config, max_images: int = None,
                    score_threshold: float = None,
                    detections_sink=None,
-                   protocol: str = "coco") -> Dict[str, float]:
+                   protocol: str = "coco",
+                   per_class: bool = False) -> Dict[str, float]:
     """Run the detector over a loader and compute mAP, streaming.
 
     ``protocol="voc"`` swaps in the Pascal VOC evaluator (single 0.5-IoU
@@ -435,4 +446,12 @@ def evaluate_model(detector, loader, config, max_images: int = None,
             flush(canvas)
     for canvas in list(pending):
         flush(canvas)
-    return evaluator.summarize()
+    metrics = evaluator.summarize()
+    if per_class:
+        # Per-category diagnostic (COCO: mAP@[.5:.95]; VOC: VOC07 AP);
+        # nan → None so the record stays strict-JSON.
+        ap = evaluator.per_class_ap()
+        metrics["AP_per_class"] = {
+            name: (None if np.isnan(ap[c]) else round(float(ap[c]), 4))
+            for c, name in enumerate(loader.class_names)}
+    return metrics

@@ -133,6 +133,11 @@ class VOCEvaluator:
         return (voc_ap(recall, precision, use_07_metric=True),
                 voc_ap(recall, precision, use_07_metric=False))
 
+    def per_class_ap(self) -> np.ndarray:
+        """[num_classes] VOC07 AP per class (nan = no GT)."""
+        return np.array([self._class_ap(c)[0]
+                         for c in range(self.num_classes)])
+
     def summarize(self) -> Dict[str, float]:
         ap07 = np.full(self.num_classes, np.nan)
         ap12 = np.full(self.num_classes, np.nan)

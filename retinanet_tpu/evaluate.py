@@ -115,6 +115,9 @@ def main(argv=None):
              "JAX_PLATFORMS env var is unreliable under platform plugins "
              "that register at import time")
     parser.add_argument(
+        "--per-class", action="store_true",
+        help="also report per-class AP (COCO: mAP@[.5:.95]; VOC: VOC07)")
+    parser.add_argument(
         "--protocol", type=str, default="coco", choices=["coco", "voc"],
         help="evaluation protocol: COCO (mAP@[.5:.95], area ranges, AR) or "
              "Pascal VOC (AP@0.5 with difficult-GT ignores, VOC07 11-point "
@@ -196,7 +199,8 @@ def main(argv=None):
                              max_images=args.max_images,
                              score_threshold=args.score_threshold,
                              detections_sink=sink,
-                             protocol=args.protocol)
+                             protocol=args.protocol,
+                             per_class=args.per_class)
     if args.dump_detections:
         with open(args.dump_detections, "w") as f:
             json.dump(dump, f)

@@ -226,3 +226,26 @@ def test_voc_evaluator_matches_reference_transliteration(seed):
                                    use07) for c in range(num_classes)]
         ref = float(np.nanmean(aps))
         np.testing.assert_allclose(mine[key], ref, atol=1e-9, err_msg=key)
+
+
+def test_per_class_ap_both_protocols():
+    from retinanet_tpu.eval_coco import COCOEvaluator
+
+    det = {"boxes": np.array([_box(0, 0)], np.float32),
+           "scores": np.array([0.9], np.float32),
+           "class_ids": np.array([0])}
+    gt = {"boxes": np.array([_box(0, 0), _box(50, 50)], np.float32),
+          "class_ids": np.array([0, 1]), "difficult": None}
+    voc = VOCEvaluator(num_classes=3)
+    voc.add(det, gt)
+    ap = voc.per_class_ap()
+    np.testing.assert_allclose(ap[0], 1.0)   # perfect
+    np.testing.assert_allclose(ap[1], 0.0)   # missed GT
+    assert np.isnan(ap[2])                   # no GT
+
+    coco = COCOEvaluator(num_classes=3)
+    coco.add(det, {**gt, "iscrowd": None, "areas": None})
+    ap = coco.per_class_ap()
+    np.testing.assert_allclose(ap[0], 1.0)
+    np.testing.assert_allclose(ap[1], 0.0)
+    assert np.isnan(ap[2])
