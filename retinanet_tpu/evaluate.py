@@ -27,11 +27,41 @@ from retinanet_tpu.train import Trainer, create_train_state
 logger = logging.getLogger(__name__)
 
 
-def load_detector(config: Config, loader, step=None, mesh=None) -> Detector:
-    """Build a Detector from the experiment's latest (or given) checkpoint."""
+def load_detector(config: Config, loader, step=None, mesh=None,
+                  average_last: int = None) -> Detector:
+    """Build a Detector from the experiment's latest (or given) checkpoint.
+
+    ``average_last=N`` serves the elementwise mean of the newest N
+    checkpoints' params instead of a single checkpoint — checkpoint
+    averaging, the classic cheap eval boost (SWA-style; no equivalent in
+    the reference, which had no eval at all).
+    """
     import os
 
     trainer = Trainer(config, loader=loader)
+    if average_last is not None and average_last > 1:
+        if step is not None:
+            raise ValueError("--step and --average-checkpoints are "
+                             "mutually exclusive")
+        steps = trainer.checkpoint_steps()[-average_last:]
+        if not steps:
+            raise FileNotFoundError(
+                f"no checkpoints in {trainer.checkpoint_dir}")
+        if len(steps) < average_last:
+            logger.warning("only %d checkpoints available for "
+                           "--average-checkpoints %d", len(steps),
+                           average_last)
+        state = create_train_state(trainer.model, config,
+                                   jax.random.PRNGKey(0))
+        acc = None
+        for s in steps:
+            params = trainer.restore_checkpoint(state, s).params
+            acc = params if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, params)
+        n = float(len(steps))
+        avg = jax.tree_util.tree_map(lambda a: a / n, acc)
+        logger.info("serving the average of checkpoints %s", steps)
+        return Detector(config, avg, loader.class_names, mesh=mesh)
     if step is not None:
         # Fail fast on a missing checkpoint — before the (expensive)
         # parameter init compiles anything.
@@ -78,6 +108,10 @@ def main(argv=None):
              "reference's 0.5 is a *display* threshold (utils.py:186) and "
              "truncates the curve.")
     parser.add_argument("--step", type=int, default=None)
+    parser.add_argument(
+        "--average-checkpoints", type=int, default=None, metavar="N",
+        help="evaluate the elementwise mean of the newest N checkpoints "
+             "(checkpoint averaging; mutually exclusive with --step)")
     parser.add_argument(
         "--approx-top-k", action="store_true",
         help="approx_max_k candidate selection (the serving fast path; "
@@ -169,7 +203,8 @@ def main(argv=None):
                 f"export classes {detector.class_names} do not match the "
                 f"dataset's {loader.class_names} (same names, same order)")
     elif args.experiment:
-        detector = load_detector(config, loader, args.step, mesh=mesh)
+        detector = load_detector(config, loader, args.step, mesh=mesh,
+                                 average_last=args.average_checkpoints)
     else:
         raise SystemExit("need --experiment (checkpoint dir) or "
                          "--from-export (serving artifact)")

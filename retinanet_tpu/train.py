@@ -392,10 +392,11 @@ class Trainer:
                 self._prune_checkpoints(
                     keep=max(1, self.config.train.keep_checkpoints))
 
-    def latest_checkpoint_step(self) -> Optional[int]:
+    def checkpoint_steps(self) -> list:
+        """All finalized checkpoint steps, ascending."""
         self.wait_for_checkpoints()
         if not os.path.isdir(self.checkpoint_dir):
-            return None
+            return []
         steps = []
         for name in os.listdir(self.checkpoint_dir):
             if name.startswith("step_") and "tmp" not in name:
@@ -403,6 +404,10 @@ class Trainer:
                     steps.append(int(name.split("_")[1]))
                 except ValueError:
                     pass
+        return sorted(steps)
+
+    def latest_checkpoint_step(self) -> Optional[int]:
+        steps = self.checkpoint_steps()
         return max(steps) if steps else None
 
     def restore_checkpoint(self, state: TrainState,

@@ -438,3 +438,32 @@ def test_training_is_seed_deterministic(tmp_path):
     b = run(tmp_path / "b")
     assert len(a) >= 2
     assert a == b  # bitwise: same program, same data order, same rng
+
+
+def test_average_checkpoints_serves_param_mean(tmp_path):
+    """evaluate --average-checkpoints N: the served params are the
+    elementwise mean of the newest N checkpoints."""
+    cfg = _tiny_config(tmp_path)
+    loader = Shapes(None, 4, (64, 64))
+    trainer = Trainer(cfg, loader=loader)
+    base = create_train_state(trainer.model, cfg, jax.random.PRNGKey(0))
+
+    def scaled(state, f, step):
+        params = jax.tree_util.tree_map(lambda x: x * f, state.params)
+        return TrainState(jnp.asarray(step), params, state.opt_state)
+
+    trainer.save_checkpoint(scaled(base, 1.0, 1))
+    trainer.save_checkpoint(scaled(base, 3.0, 2))
+    trainer.wait_for_checkpoints()
+
+    from retinanet_tpu.evaluate import load_detector
+    det = load_detector(cfg, loader, average_last=2)
+    # mean of 1x and 3x = 2x the base params.
+    for a, b in zip(jax.tree_util.tree_leaves(det.params),
+                    jax.tree_util.tree_leaves(base.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b) * 2.0,
+                                   atol=1e-6)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        load_detector(cfg, loader, step=1, average_last=2)
