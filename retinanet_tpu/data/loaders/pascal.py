@@ -58,8 +58,10 @@ class Pascal(Base):
                 boxes.append([t, l, b, r])
                 class_ids.append(VOC_CLASSES.index(obj.find("name").text))
                 node = obj.find("difficult")
+                # Some annotation tools emit empty <difficult/> tags
+                # (node.text is None) — treat as not-difficult.
                 difficult.append(node is not None
-                                 and node.text.strip() == "1")
+                                 and (node.text or "").strip() == "1")
             sample = {
                 "image_file": os.path.join(self._path, "JPEGImages",
                                            name + ".jpg"),

@@ -212,6 +212,12 @@ class Pipeline:
     def __init__(self, loader: Base, config: DataConfig,
                  max_boxes: int = 100, training: bool = True,
                  seed: int = 42):
+        if not 0.0 <= config.augment_scale_jitter < 1.0:
+            # J >= 1 would draw negative resize factors (the documented
+            # semantics are U[1-J, 1]) and silently shrink images to ~1px.
+            raise ValueError(
+                f"augment_scale_jitter must be in [0, 1), got "
+                f"{config.augment_scale_jitter}")
         self.loader = loader
         self.config = config
         self.max_boxes = max_boxes

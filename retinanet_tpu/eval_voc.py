@@ -23,7 +23,25 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from retinanet_tpu.eval_coco import _box_iou_matrix
+
+def _voc_iou_matrix(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Pairwise IoU with the official devkit's +1 pixel-inclusive
+    convention (``voc_eval.py``: every extent is ``max - min + 1`` — VOC
+    boxes are inclusive pixel ranges).  This deliberately differs from
+    the continuous IoU used everywhere else in the framework; near the
+    0.5 threshold the two flip matches on real integer-pixel VOC data."""
+    it = np.maximum(det[:, None, 0], gt[None, :, 0])
+    il = np.maximum(det[:, None, 1], gt[None, :, 1])
+    ib = np.minimum(det[:, None, 2], gt[None, :, 2])
+    ir = np.minimum(det[:, None, 3], gt[None, :, 3])
+    inter = (np.maximum(ib - it + 1.0, 0.0)
+             * np.maximum(ir - il + 1.0, 0.0))
+    area_d = ((det[:, 2] - det[:, 0] + 1.0)
+              * (det[:, 3] - det[:, 1] + 1.0))
+    area_g = ((gt[:, 2] - gt[:, 0] + 1.0)
+              * (gt[:, 3] - gt[:, 1] + 1.0))
+    union = area_d[:, None] + area_g[None, :] - inter
+    return inter / np.maximum(union, 1e-12)
 
 
 def _match_image_voc(det_boxes: np.ndarray, det_scores: np.ndarray,
@@ -41,7 +59,8 @@ def _match_image_voc(det_boxes: np.ndarray, det_scores: np.ndarray,
     det_ig = np.zeros(len(det_boxes), bool)
     if len(gt_boxes) == 0:
         return det_scores, tp, det_ig  # all FP
-    iou = _box_iou_matrix(det_boxes, gt_boxes)
+    iou = _voc_iou_matrix(np.asarray(det_boxes, np.float64),
+                          np.asarray(gt_boxes, np.float64))
     used = np.zeros(len(gt_boxes), bool)
     for d in range(len(det_boxes)):
         g = int(np.argmax(iou[d])) if iou.shape[1] else -1

@@ -194,6 +194,10 @@ def main(argv=None):
         mesh = make_mesh()
         logger.info("data-parallel serving over %d devices", mesh.size)
     if args.from_export:
+        if args.average_checkpoints:
+            raise SystemExit("--average-checkpoints needs an experiment "
+                             "checkpoint dir; a --from-export artifact "
+                             "holds exactly one parameter set")
         from retinanet_tpu.export import load_exported_detector
         detector = load_exported_detector(args.from_export, config=config,
                                           mesh=mesh)

@@ -366,9 +366,11 @@ class Trainer:
             self._prune_checkpoints(
                 keep=max(1, self.config.train.keep_checkpoints))
 
-    def _prune_checkpoints(self, keep: int):
+    def _finalized_steps(self) -> list:
+        """Finalized step_N dirs on disk, ascending (no async wait — safe
+        to call from pruning inside wait_for_checkpoints itself)."""
         if not os.path.isdir(self.checkpoint_dir):
-            return
+            return []
         steps = []
         for name in os.listdir(self.checkpoint_dir):
             if name.startswith("step_") and "tmp" not in name:
@@ -376,8 +378,12 @@ class Trainer:
                     steps.append(int(name.split("_")[1]))
                 except ValueError:
                     pass
+        return sorted(steps)
+
+    def _prune_checkpoints(self, keep: int):
+        steps = self._finalized_steps()
         import shutil
-        for step in sorted(steps)[:-keep] if keep > 0 else sorted(steps):
+        for step in steps[:-keep] if keep > 0 else steps:
             shutil.rmtree(
                 os.path.join(self.checkpoint_dir, f"step_{step}"),
                 ignore_errors=True)
@@ -393,18 +399,10 @@ class Trainer:
                     keep=max(1, self.config.train.keep_checkpoints))
 
     def checkpoint_steps(self) -> list:
-        """All finalized checkpoint steps, ascending."""
+        """All finalized checkpoint steps, ascending (waits for any
+        in-flight async save first)."""
         self.wait_for_checkpoints()
-        if not os.path.isdir(self.checkpoint_dir):
-            return []
-        steps = []
-        for name in os.listdir(self.checkpoint_dir):
-            if name.startswith("step_") and "tmp" not in name:
-                try:
-                    steps.append(int(name.split("_")[1]))
-                except ValueError:
-                    pass
-        return sorted(steps)
+        return self._finalized_steps()
 
     def latest_checkpoint_step(self) -> Optional[int]:
         steps = self.checkpoint_steps()

@@ -308,3 +308,11 @@ def test_pipeline_scale_jitter_applied_and_reproducible():
         ah = (a.boxes[..., 2] - a.boxes[..., 0])[a.box_mask]
         bh = (b.boxes[..., 2] - b.boxes[..., 0])[b.box_mask]
         assert (ah <= bh + 1e-6).all()
+
+
+def test_pipeline_rejects_out_of_range_scale_jitter():
+    import pytest
+
+    dl = Shapes(None, 4, (64, 64))
+    with pytest.raises(ValueError, match="augment_scale_jitter"):
+        Pipeline(dl, _cfg(augment_scale_jitter=1.5), max_boxes=8)

@@ -30,11 +30,11 @@ def test_voc_ap_formulas_hand_computed():
 def test_voc_matcher_matched_gt_is_fp():
     """The VOC-vs-COCO protocol difference: a detection whose argmax GT is
     taken is a FP even though another GT clears the threshold."""
-    gt = np.array([_box(0, 0), _box(0, 5)], np.float32)  # overlapping pair
-    # det1 overlaps GT0 at 0.667 (argmax) and GT1 at 0.538 — BOTH clear
-    # 0.5, but GT0 is taken by det0, and VOC does not fall through to the
-    # runner-up GT the way COCO's greedy matcher does.
-    det = np.array([_box(0, 0), _box(0, 2)], np.float32)
+    gt = np.array([_box(0, 0), _box(0, 4)], np.float32)  # overlapping pair
+    # Inclusive (+1) IoU: det1 overlaps GT0 at 0.833 (argmax) and GT1 at
+    # 0.571 — BOTH clear 0.5, but GT0 is taken by det0, and VOC does not
+    # fall through to the runner-up GT the way COCO's greedy matcher does.
+    det = np.array([_box(0, 0), _box(0, 1)], np.float32)
     scores = np.array([0.9, 0.8], np.float32)
     s, tp, ig = _match_image_voc(det, scores, gt,
                                  np.zeros(2, bool), 0.5)
@@ -160,11 +160,12 @@ def _voc_eval_reference(dets_by_image, gts_by_image, cls, iou_thr,
             ixmin = np.maximum(BBGT[:, 1], bb[1])
             iymax = np.minimum(BBGT[:, 2], bb[2])
             ixmax = np.minimum(BBGT[:, 3], bb[3])
-            ih = np.maximum(iymax - iymin, 0.0)
-            iw = np.maximum(ixmax - ixmin, 0.0)
+            ih = np.maximum(iymax - iymin + 1.0, 0.0)
+            iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
             inters = iw * ih
-            uni = ((bb[2] - bb[0]) * (bb[3] - bb[1])
-                   + (BBGT[:, 2] - BBGT[:, 0]) * (BBGT[:, 3] - BBGT[:, 1])
+            uni = ((bb[2] - bb[0] + 1.0) * (bb[3] - bb[1] + 1.0)
+                   + (BBGT[:, 2] - BBGT[:, 0] + 1.0)
+                   * (BBGT[:, 3] - BBGT[:, 1] + 1.0)
                    - inters)
             overlaps = inters / uni
             ovmax = np.max(overlaps)
@@ -249,3 +250,14 @@ def test_per_class_ap_both_protocols():
     np.testing.assert_allclose(ap[0], 1.0)
     np.testing.assert_allclose(ap[1], 0.0)
     assert np.isnan(ap[2])
+
+
+def test_voc_inclusive_iou_convention():
+    """The devkit's +1 pixel-inclusive IoU: GT (0,0,9,9) vs det
+    (0,0,13,13) is 100/196 = 0.510 inclusive (TP) but 81/169 = 0.479
+    continuous (would be FP) — the review-found deviation, pinned."""
+    gt = np.array([[0, 0, 9, 9]], np.float32)
+    det = np.array([[0, 0, 13, 13]], np.float32)
+    s, tp, ig = _match_image_voc(det, np.array([0.9], np.float32), gt,
+                                 np.zeros(1, bool), 0.5)
+    assert tp.tolist() == [True]

@@ -273,3 +273,22 @@ def test_pascal_difficult_flags(tmp_path):
     wrapped = next(iter(Inferred("pascal", [str(tmp_path), "val"],
                                  include_crowds=True)))
     assert wrapped["difficult"].tolist() == [True, False, False]
+
+
+def test_pascal_empty_difficult_tag(tmp_path):
+    """Empty <difficult/> tags (some annotation tools) must parse as
+    not-difficult, not crash."""
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "ImageSets" / "Main" / "t.txt").write_text("im1\n")
+    (tmp_path / "Annotations" / "im1.xml").write_text("""<annotation>
+      <object><name>dog</name><difficult/>
+        <bndbox><ymin>1</ymin><xmin>2</xmin><ymax>30</ymax><xmax>40</xmax>
+        </bndbox></object>
+    </annotation>""")
+    s = next(iter(Pascal(str(tmp_path), "t", include_difficult_flags=True)))
+    assert s["difficult"].tolist() == [False]
+    # Training mode (no flag parse requested) also survives.
+    s = next(iter(Pascal(str(tmp_path), "t")))
+    assert len(s["boxes"]) == 1
