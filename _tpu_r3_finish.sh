@@ -10,6 +10,9 @@ timeout 1500 python -c "import jax, jax.numpy as jnp; print(jax.devices()); prin
 echo "=== blockfuse $(date -u +%H:%M:%S) ==="
 timeout 2400 python _profile_r3.py blockfuse
 echo "rc=$?"
+echo "=== infersweep $(date -u +%H:%M:%S) ==="
+timeout 2400 python _profile_r3.py infersweep
+echo "rc=$?"
 echo "=== trainsweep $(date -u +%H:%M:%S) ==="
 timeout 2400 python _profile_r3.py trainsweep
 echo "rc=$?"

@@ -246,10 +246,21 @@ class ParallelConfig:
 
     A 1-D data mesh is the reference-equivalent default; model code is
     mesh-agnostic so larger meshes are a config change.
+
+    ``spatial`` > 1 adds a second mesh axis and shards the image HEIGHT
+    across it (2-D ``(data, space)`` mesh): each device holds a horizontal
+    band of every image in its batch shard, and XLA's SPMD partitioner
+    inserts the conv halo exchanges and cross-band normalization reductions
+    automatically (GSPMD spatial partitioning — the TPU-native way to fit
+    high-resolution detection inputs that exceed one chip's HBM, with no
+    manual ppermute halos).  Batch must divide ``num_devices // spatial``
+    and every canvas height must divide ``spatial``.
     """
 
     data_axis: str = "data"
+    space_axis: str = "space"
     num_devices: Optional[int] = None  # None = all visible devices
+    spatial: int = 1  # devices along the space (image-height) axis
 
 
 @dataclasses.dataclass(frozen=True)
@@ -333,6 +344,11 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         "--schedule", type=str, default="constant",
         choices=["constant", "cosine", "warmup_cosine", "cyclical"])
     parser.add_argument(
+        "--spatial", type=int, default=1, metavar="S",
+        help="shard image height over S devices (2-D (data, space) mesh; "
+             "GSPMD spatial partitioning for inputs too large for one "
+             "chip's HBM). Devices and canvas heights must divide S")
+    parser.add_argument(
         "--platform", type=str, default=None, metavar="NAME",
         help="pin JAX to a platform (e.g. 'cpu') in-process; the "
              "JAX_PLATFORMS env var is unreliable under platform plugins "
@@ -367,6 +383,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("train.profile_steps", args.profile),
         ("data.augment_photometric", bool(args.augment_photometric)),
         ("data.augment_scale_jitter", args.augment_scale_jitter),
+        ("parallel.spatial", args.spatial),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.workers is not None:

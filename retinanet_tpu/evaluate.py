@@ -138,6 +138,11 @@ def main(argv=None):
              "are per-image).  batch-size must be divisible by the device "
              "count.")
     parser.add_argument(
+        "--spatial", type=int, default=1, metavar="S",
+        help="with --data-parallel: additionally shard image height over S "
+             "devices (2-D (data, space) mesh, GSPMD spatial partitioning; "
+             "device count and canvas height must divide S)")
+    parser.add_argument(
         "--dump-detections", type=str, default=None, metavar="PATH",
         help="also write every detection in canonical COCO-results JSON "
              "([{image_id, category_id, bbox [x,y,w,h], score}]) so the "
@@ -190,9 +195,13 @@ def main(argv=None):
     loader = Inferred(args.dataset[0], args.dataset[1:], include_crowds=True)
     mesh = None
     if args.data_parallel:
+        from retinanet_tpu.config import ParallelConfig
         from retinanet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh()
-        logger.info("data-parallel serving over %d devices", mesh.size)
+        mesh = make_mesh(ParallelConfig(spatial=args.spatial))
+        logger.info("data-parallel serving over %d devices%s", mesh.size,
+                    f" (spatial={args.spatial})" if args.spatial > 1 else "")
+    elif args.spatial > 1:
+        raise SystemExit("--spatial requires --data-parallel")
     if args.from_export:
         if args.average_checkpoints:
             raise SystemExit("--average-checkpoints needs an experiment "

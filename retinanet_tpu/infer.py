@@ -36,11 +36,13 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
     fori_loop fallback, which out-measures the Pallas suppression kernel
     at every batch size after the packed-key decode — see NMSConfig).
 
-    ``mesh``: optional 1-D ``jax.sharding.Mesh`` for data-parallel serving —
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving —
     params replicated, the batch (and every per-image output) sharded over
-    the mesh axis.  Decode + NMS are purely per-image, so the sharded
+    the data axis.  Decode + NMS are purely per-image, so the sharded
     program needs NO collectives: XLA runs one independent shard per device
-    (equivalence-tested 8-way vs 1 in ``tests/test_parallel.py``).  The
+    (equivalence-tested 8-way vs 1 in ``tests/test_parallel.py``).  On a
+    2-D ``(data, space)`` mesh (``ParallelConfig.spatial``) image height is
+    additionally band-sharded and XLA inserts the conv halo exchanges.  The
     reference's serving story was single-GPU only (it had none at all —
     ``model_fn`` handles TRAIN exclusively, ``/root/reference/train.py:207``).
     Batch size must be divisible by the mesh size.
@@ -65,9 +67,14 @@ def make_inference_fn(model: RetinaNet, levels: Levels, config: Config,
 
     if mesh is None:
         return jax.jit(infer)
-    from retinanet_tpu.parallel.mesh import batch_sharding, replicated
+    from retinanet_tpu.parallel.mesh import (batch_sharding, image_sharding,
+                                             replicated)
+    # Images additionally shard their height on a 2-D (data, space) mesh
+    # (image_sharding == batch_sharding on the default 1-D mesh); detection
+    # outputs have no spatial dim and stay batch-sharded.
     batch = batch_sharding(mesh)
-    return jax.jit(infer, in_shardings=(replicated(mesh), batch),
+    return jax.jit(infer, in_shardings=(replicated(mesh),
+                                        image_sharding(mesh)),
                    out_shardings=batch)
 
 
@@ -83,10 +90,15 @@ class Detector:
             config.model, num_anchors=self.levels.num_anchors,
             num_classes=len(class_names))
         self.params = params
-        if mesh is not None and config.data.batch_size % mesh.size:
-            raise ValueError(
-                f"data-parallel serving needs batch_size divisible by the "
-                f"mesh size ({config.data.batch_size} % {mesh.size} != 0)")
+        if mesh is not None:
+            # Batch shards over the data axis only (a 2-D spatial mesh
+            # shards image height, not batch, on its second axis).
+            n_data = mesh.shape[mesh.axis_names[0]]
+            if config.data.batch_size % n_data:
+                raise ValueError(
+                    f"data-parallel serving needs batch_size divisible by "
+                    f"the data axis ({config.data.batch_size} % {n_data}"
+                    " != 0)")
         self._fn = make_inference_fn(self.model, self.levels, config,
                                      use_pallas, mesh=mesh)
 

@@ -78,12 +78,20 @@ def shard_loader(loader, shard: int, num_shards: int):
     return _LoaderShard(loader, shard, num_shards)
 
 
-def global_batch_from_local(local_arrays, mesh) -> "jax.Array":
+def global_batch_from_local(local_arrays, mesh, shardings=None) -> "jax.Array":
     """Assemble per-process local batch shards into one global jax.Array
-    sharded on the mesh's data axis."""
+    sharded on the mesh's data axis.
+
+    ``shardings``: optional pytree of per-leaf NamedShardings (matching
+    ``local_arrays``) overriding the default batch sharding — used by the
+    spatially-partitioned trainer to put images on the ``(data, space)``
+    mesh while labels stay batch-sharded.
+    """
     from retinanet_tpu.parallel.mesh import batch_sharding
 
-    sharding = batch_sharding(mesh)
+    default = batch_sharding(mesh)
+    if shardings is None:
+        shardings = jax.tree_util.tree_map(lambda _: default, local_arrays)
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), local_arrays)
+        lambda x, s: jax.make_array_from_process_local_data(
+            s, np.asarray(x)), local_arrays, shardings)

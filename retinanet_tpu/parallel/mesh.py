@@ -27,11 +27,23 @@ from retinanet_tpu.config import ParallelConfig
 
 def make_mesh(config: ParallelConfig = ParallelConfig(),
               devices=None) -> Mesh:
-    """1-D data mesh over visible devices (auto-detect like the reference's
-    ``get_num_gpus``; identical single-device behaviour)."""
+    """Data mesh over visible devices (auto-detect like the reference's
+    ``get_num_gpus``; identical single-device behaviour).
+
+    ``config.spatial > 1`` builds a 2-D ``(data, space)`` mesh instead:
+    batch shards along ``data``, image height along ``space`` (GSPMD
+    spatial partitioning — see :class:`ParallelConfig`).
+    """
     if devices is None:
         devices = jax.devices()
     n = config.num_devices or len(devices)
+    sp = config.spatial
+    if sp > 1:
+        if n % sp:
+            raise ValueError(
+                f"{n} devices not divisible by spatial={sp}")
+        grid = np.asarray(devices[:n]).reshape(n // sp, sp)
+        return Mesh(grid, (config.data_axis, config.space_axis))
     return Mesh(np.asarray(devices[:n]), (config.data_axis,))
 
 
@@ -39,6 +51,17 @@ def batch_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     axis = axis or mesh.axis_names[0]
     return NamedSharding(mesh, P(axis))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for image batches ``[B, H, W, 3]``: batch on the data axis,
+    and — when the mesh has a space axis — height on the space axis.  XLA
+    inserts conv halo exchanges between the height bands; model code is
+    unchanged.  Identical to :func:`batch_sharding` on a 1-D mesh."""
+    names = mesh.axis_names
+    if len(names) > 1:
+        return NamedSharding(mesh, P(names[0], names[1]))
+    return NamedSharding(mesh, P(names[0]))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -263,6 +263,30 @@ class Trainer:
             config.model, num_anchors=self.levels.num_anchors,
             num_classes=loader.num_classes)
         self.num_processes = jax.process_count()
+        if config.parallel.spatial > 1:
+            # GSPMD spatial partitioning: image height sharded over the
+            # mesh's space axis (see ParallelConfig).  Validate the static
+            # geometry up front — every canvas height must split evenly
+            # into bands, and the batch must divide the data axis.
+            sp = config.parallel.spatial
+            if self.num_processes > 1:
+                raise ValueError(
+                    "parallel.spatial > 1 is single-process only (the "
+                    "multi-host input path assembles batch-sharded arrays)")
+            n_avail = config.parallel.num_devices or len(jax.devices())
+            if n_avail % sp:
+                raise ValueError(
+                    f"{n_avail} devices not divisible by spatial={sp}")
+            if config.data.batch_size % (n_avail // sp):
+                raise ValueError(
+                    f"batch {config.data.batch_size} not divisible by the "
+                    f"data axis ({n_avail}//{sp} = {n_avail // sp} devices)")
+            heights = ([h for h, _ in config.data.buckets]
+                       if config.data.buckets else [config.data.image_size])
+            for h in heights:
+                if h % sp:
+                    raise ValueError(
+                        f"canvas height {h} not divisible by spatial={sp}")
         if self.num_processes > 1:
             # Multi-host: every process feeds only its slice of the global
             # batch from a disjoint shard of the dataset; the global array
@@ -306,6 +330,12 @@ class Trainer:
                     min_shard // local_data.batch_size)
             except TypeError:  # unsized loader: caller must set
                 self._sync_steps_per_epoch = None  # steps_per_epoch
+        elif config.parallel.spatial > 1:
+            # Geometry validated above; no auto-shrink (band layout is
+            # explicit user intent).
+            self._sync_steps_per_epoch = None
+            self.mesh = make_mesh(config.parallel)
+            pipeline_loader, local_data = loader, config.data
         else:
             self._sync_steps_per_epoch = None
             # Mesh size must divide the global batch; auto-shrink like the
@@ -513,11 +543,14 @@ class Trainer:
         (double-buffered input; reference analog: ``prefetch(1)`` at
         ``train.py:202``)."""
         from retinanet_tpu.parallel.distributed import global_batch_from_local
+        from retinanet_tpu.parallel.mesh import image_sharding
+        img_sh, lbl_sh = image_sharding(self.mesh), batch_sharding(self.mesh)
+        shardings = (img_sh, lbl_sh, lbl_sh, lbl_sh)
         pending = None
         for batch in self.pipeline.prefetched(epoch):
             db = global_batch_from_local(
                 (batch.images, batch.boxes, batch.class_ids, batch.box_mask),
-                self.mesh)
+                self.mesh, shardings=shardings)
             if pending is not None:
                 yield pending
             pending = (db, batch)
@@ -544,12 +577,14 @@ class Trainer:
         py_step = int(state.step)  # host-side mirror: avoids a device sync
         # (int(state.step) blocks on the whole step program) per iteration
 
+        from retinanet_tpu.parallel.mesh import image_sharding
         repl = replicated(self.mesh)
         data_sh = batch_sharding(self.mesh)
+        img_sh = image_sharding(self.mesh)  # = data_sh on a 1-D mesh
         state = jax.device_put(state, repl)
 
         shardings = dict(
-            in_shardings=(repl, data_sh, data_sh, data_sh, data_sh, repl),
+            in_shardings=(repl, img_sh, data_sh, data_sh, data_sh, repl),
             out_shardings=(repl, repl), donate_argnums=(0,))
         # Two compiled variants: the hot-path step skips the diagnostic
         # full-tensor reductions; the full step runs only on logged steps.

@@ -172,6 +172,136 @@ def test_data_parallel_inference_matches_single_device():
     assert total > 0, "test vacuous: no valid detections"
 
 
+def test_spatial_mesh_helpers():
+    from retinanet_tpu.config import ParallelConfig
+    from retinanet_tpu.parallel.mesh import image_sharding
+
+    mesh = make_mesh(ParallelConfig(spatial=2))
+    assert mesh.axis_names == ("data", "space")
+    assert mesh.shape["data"] == 4 and mesh.shape["space"] == 2
+    from jax.sharding import PartitionSpec as P
+    assert image_sharding(mesh).spec == P("data", "space")
+    assert batch_sharding(mesh).spec == P("data")
+    # 1-D mesh: image sharding degenerates to batch sharding.
+    mesh1 = make_mesh()
+    assert image_sharding(mesh1).spec == batch_sharding(mesh1).spec
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh(ParallelConfig(spatial=3))
+
+
+def test_spatial_train_step_matches_single_device(tmp_path):
+    """dp x sp (4 x 2) GSPMD-spatially-partitioned train step == the
+    single-device step: XLA's halo exchanges + cross-band reductions must
+    be numerically transparent."""
+    from retinanet_tpu.config import ParallelConfig
+    from retinanet_tpu.parallel.mesh import image_sharding
+
+    cfg = _cfg(tmp_path)
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+
+    np_rng = np.random.RandomState(0)
+    images, boxes, ids, mask = _batch(np_rng, 8, 64, 8)
+    images += np_rng.randn(*images.shape).astype(np.float32) * 0.1
+    rng = jax.random.PRNGKey(5)
+
+    state0 = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    s1, m1 = jax.jit(make_train_step(model, levels, cfg))(
+        state0, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(ids),
+        jnp.asarray(mask), rng)
+
+    mesh = make_mesh(ParallelConfig(spatial=2))
+    repl, data_sh = replicated(mesh), batch_sharding(mesh)
+    img_sh = image_sharding(mesh)
+    step = jax.jit(
+        make_train_step(model, levels, cfg),
+        in_shardings=(repl, img_sh, data_sh, data_sh, data_sh, repl),
+        out_shardings=(repl, repl))
+    state0b = jax.device_put(
+        create_train_state(model, cfg, jax.random.PRNGKey(0)), repl)
+    s8, m8 = step(state0b,
+                  jax.device_put(jnp.asarray(images), img_sh),
+                  jax.device_put(jnp.asarray(boxes), data_sh),
+                  jax.device_put(jnp.asarray(ids), data_sh),
+                  jax.device_put(jnp.asarray(mask), data_sh),
+                  jax.device_put(rng, repl))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m8["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m8["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_spatial_inference_matches_single_device(tmp_path):
+    """Spatially-partitioned serving program == single-device detections."""
+    from retinanet_tpu.config import NMSConfig, ParallelConfig
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.parallel.mesh import image_sharding
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
+                          dropout_rate=0.0, compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=8),
+        nms=NMSConfig(score_threshold=0.005),
+    )
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        training=False)["params"]
+    images = np.random.RandomState(1).randn(8, 64, 64, 3).astype(np.float32)
+
+    single = make_inference_fn(model, levels, cfg)(params, images)
+    mesh = make_mesh(ParallelConfig(spatial=2))
+    sharded = make_inference_fn(model, levels, cfg, mesh=mesh)(
+        params, jax.device_put(jnp.asarray(images), image_sharding(mesh)))
+
+    total = 0
+    for i in range(8):
+        v1 = np.asarray(single.valid[i])
+        v2 = np.asarray(sharded.valid[i])
+        assert v1.sum() == v2.sum(), f"image {i} detection count"
+        total += int(v1.sum())
+        for field, tol in (("scores", 1e-5), ("boxes", 1e-4),
+                           ("class_ids", 0)):
+            a = np.asarray(getattr(single, field)[i])[v1]
+            b = np.asarray(getattr(sharded, field)[i])[v2]
+            np.testing.assert_allclose(a, b, atol=tol,
+                                       err_msg=f"image {i} {field}")
+    assert total > 0, "test vacuous: no valid detections"
+
+
+def test_spatial_trainer_guards(tmp_path):
+    """Trainer geometry validation for spatial partitioning."""
+    import dataclasses
+
+    import pytest
+
+    from retinanet_tpu.config import ParallelConfig
+    from retinanet_tpu.data.loaders.shapes import Shapes
+    from retinanet_tpu.train import Trainer
+
+    loader = Shapes(None, 8, (64, 64))
+    base = _cfg(tmp_path)
+    # Canvas height 60 not divisible by spatial=8.
+    bad_h = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, image_size=60, batch_size=8),
+        parallel=ParallelConfig(spatial=8))
+    with pytest.raises(ValueError, match="canvas height"):
+        Trainer(bad_h, loader)
+    # Batch 3 not divisible by the 4-device data axis.
+    bad_b = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, batch_size=3),
+        parallel=ParallelConfig(spatial=2))
+    with pytest.raises(ValueError, match="not divisible by the"):
+        Trainer(bad_b, loader)
+
+
 def test_detector_mesh_batch_divisibility_check():
     import pytest
 
