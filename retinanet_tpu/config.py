@@ -174,6 +174,13 @@ class TrainConfig:
     rmsprop_decay: float = 0.9  # train.py:117
     rmsprop_momentum: float = 0.9
     grad_clip_norm: Optional[float] = None
+    # Gradient accumulation: each optimizer step scans grad_accum
+    # micro-batches of batch_size/grad_accum images and averages their
+    # gradients — peak activation memory is one micro-batch's, so effective
+    # batches that exceed one chip's HBM still fit (the TPU-native answer to
+    # the reference's batch-1 Titan X ceiling, train.py:91).  Semantics
+    # match optax.MultiSteps / torch-style accumulation.
+    grad_accum: int = 1
     epochs: int = 1000
     steps_per_epoch: Optional[int] = None  # None = full pass over loader
     checkpoint_every: int = 500  # train.py:266-267
@@ -344,6 +351,11 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         "--schedule", type=str, default="constant",
         choices=["constant", "cosine", "warmup_cosine", "cyclical"])
     parser.add_argument(
+        "--grad-accum", type=int, default=1, metavar="A",
+        help="accumulate gradients over A micro-batches per optimizer step "
+             "(batch-size must divide by A); fits effective batches larger "
+             "than one chip's HBM")
+    parser.add_argument(
         "--spatial", type=int, default=1, metavar="S",
         help="shard image height over S devices (2-D (data, space) mesh; "
              "GSPMD spatial partitioning for inputs too large for one "
@@ -384,6 +396,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("data.augment_photometric", bool(args.augment_photometric)),
         ("data.augment_scale_jitter", args.augment_scale_jitter),
         ("parallel.spatial", args.spatial),
+        ("train.grad_accum", args.grad_accum),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.workers is not None:

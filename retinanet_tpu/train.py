@@ -92,10 +92,13 @@ def build_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
-def _decoded_box_iou(regr_targets: Array, regr_logits: Array,
-                     anchor_maps: Array, fg_mask: Array) -> Array:
-    """Mean IoU of decoded predicted vs GT boxes on fg anchors — the metric
-    the reference defines but leaves disabled (``train.py:137-161``).
+def _decoded_box_iou_sums(regr_targets: Array, regr_logits: Array,
+                          anchor_maps: Array,
+                          fg_mask: Array) -> Tuple[Array, Array]:
+    """(Σ IoU·fg, Σ fg) of decoded predicted vs GT boxes on fg anchors — the
+    metric the reference defines but leaves disabled (``train.py:137-161``).
+    Sum-form so gradient-accumulation micro-batches combine exactly; the
+    ratio is taken once per step.
 
     ``anchor_maps``: [N, 4] flattened per-anchor (cy, cx, h, w)."""
     def decode(regr):
@@ -108,7 +111,7 @@ def _decoded_box_iou(regr_targets: Array, regr_logits: Array,
 
     iou = box_ops.iou(decode(regr_targets), decode(regr_logits))
     w = fg_mask.astype(jnp.float32)
-    return jnp.sum(iou * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(iou * w), jnp.sum(w)
 
 
 # Canonical flat anchor table lives in ops/anchors.py; alias kept for the
@@ -127,6 +130,15 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
     Trainer compiles both variants and runs the full one only on steps
     whose metrics are actually written.  Both return the same state; the
     metrics dict differs in keys only.
+
+    ``config.train.grad_accum > 1`` scans that many micro-batches per
+    optimizer step (``lax.scan``) and averages their gradients — peak
+    activation memory is one micro-batch's, so effective batches larger
+    than one chip's HBM still train (the reference's answer was batch 1 on
+    a Titan X, ``/root/reference/train.py:91``).  Diagnostics accumulate in
+    sum-form across micro-batches (exactly batch-split invariant); loss
+    scalars are means of per-micro-batch losses, matching
+    ``optax.MultiSteps`` semantics.
     """
     num_classes = model.num_classes
     if config.model.quantize != "none":
@@ -139,10 +151,15 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
             "quantize='none' and quantize at inference time")
     tx = build_optimizer(config.train)
     schedule = build_schedule(config.train)
+    accum = max(1, config.train.grad_accum)
+    _LOSS_KEYS = ("total_loss", "class_loss", "regr_loss",
+                  "regularization_loss")
 
-    def step_fn(state: TrainState, images: Array, boxes: Array,
-                class_ids: Array, box_mask: Array,
-                rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+    def micro_fn(params, images: Array, boxes: Array, class_ids: Array,
+                 box_mask: Array, dropout_rng: Array):
+        """Loss gradient + sum-form metric accumulators over one
+        (micro-)batch.  Everything returned combines across micro-batches
+        by addition; ratios are taken once per optimizer step."""
         # Canvas comes from the batch itself (static at trace time), so the
         # same step function serves every bucket of a rectangular-bucket
         # pipeline — jit compiles one program per canvas shape.
@@ -157,8 +174,6 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
         rt = flatten_levels(regr_t)
         tm = flatten_levels(masks)
 
-        dropout_rng = jax.random.fold_in(rng, state.step)
-
         def loss_fn(params):
             out = model.apply({"params": params}, images, training=True,
                               rngs={"dropout": dropout_rng})
@@ -172,44 +187,107 @@ def make_train_step(model: RetinaNet, levels: Levels, config: Config,
             return total, (class_loss, regr_loss, reg_loss, cl, rg)
 
         (total, (class_loss, regr_loss, reg_loss, cl, rg)), grads = \
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        sums = {"total_loss": total, "class_loss": class_loss,
+                "regr_loss": regr_loss, "regularization_loss": reg_loss}
+        if with_metrics:
+            probs = jax.nn.sigmoid(cl)
+            fg_mask = jnp.logical_and(jnp.max(ct, axis=-1) > 0.5, tm)
+            anchor_maps = jnp.asarray(_flat_anchor_maps(levels, image_hw))
+            inter, union = _class_iou_sums(ct, probs, tm)
+            iou_sum, iou_w = _decoded_box_iou_sums(rt, rg, anchor_maps,
+                                                   fg_mask)
+            sums.update({
+                "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
+                "_class_inter": inter, "_class_union": union,
+                "_regr_iou_sum": iou_sum, "_regr_iou_w": iou_w,
+                **prob_histograms(ct, probs, tm),
+            })
+        return grads, sums
+
+    def step_fn(state: TrainState, images: Array, boxes: Array,
+                class_ids: Array, box_mask: Array,
+                rng: Array) -> Tuple[TrainState, Dict[str, Array]]:
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        if accum == 1:
+            grads, sums = micro_fn(state.params, images, boxes, class_ids,
+                                   box_mask, dropout_rng)
+        else:
+            # Gradient accumulation: lax.scan over ``accum`` micro-batches,
+            # each running its own fwd+bwd — peak activation memory is one
+            # micro-batch's, so effective batches that exceed HBM fit on one
+            # chip.  Gradients (and loss scalars) are averaged over the
+            # micro-batches: identical semantics to optax.MultiSteps /
+            # torch-style accumulation (for batch-coupled loss normalizers
+            # — dice, focal's fg count — each micro-batch normalizes within
+            # itself, exactly as N small optimizer-less steps would).
+            b = images.shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum={accum}")
+            mb = b // accum
+            split = lambda x: x.reshape(accum, mb, *x.shape[1:])
+            xs = (split(images), split(boxes), split(class_ids),
+                  split(box_mask), jnp.arange(accum, dtype=jnp.uint32))
+
+            def body(carry, x):
+                g_acc, s_acc = carry
+                mi, mbx, mids, mmask, i = x
+                g, s = micro_fn(state.params, mi, mbx, mids, mmask,
+                                jax.random.fold_in(dropout_rng, i))
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                        jax.tree_util.tree_map(jnp.add, s_acc, s)), None
+
+            g_shapes, s_shapes = jax.eval_shape(
+                micro_fn, state.params, xs[0][0], xs[1][0], xs[2][0],
+                xs[3][0], dropout_rng)
+            zeros = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, a.dtype), t)
+            (g_sum, sums), _ = jax.lax.scan(
+                body, (zeros(g_shapes), zeros(s_shapes)), xs)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            # Loss scalars are means over micro-batches; metric
+            # accumulators stay full-batch sums (ratios taken below).
+            sums = {k: (v / accum if k in _LOSS_KEYS else v)
+                    for k, v in sums.items()}
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
 
-        metrics = {
-            "total_loss": total,
-            "class_loss": class_loss,
-            "regr_loss": regr_loss,
-            "regularization_loss": reg_loss,
+        metrics = {k: sums[k] for k in _LOSS_KEYS}
+        metrics.update({
             "grad_norm": optax.global_norm(grads),
             "learning_rate": schedule(state.step),
-        }
+        })
         if with_metrics:
-            probs = jax.nn.sigmoid(cl)
-            fg_mask = jnp.logical_and(jnp.max(ct, axis=-1) > 0.5, tm)
-            anchor_maps = jnp.asarray(_flat_anchor_maps(levels, image_hw))
             metrics.update({
-                "num_fg": jnp.sum(fg_mask.astype(jnp.int32)),
+                "num_fg": sums["num_fg"],
                 # Classmap mean IoU at threshold .5 (reference build_metrics).
-                "class_iou": _class_iou(ct, probs, tm),
-                "regr_iou": _decoded_box_iou(rt, rg, anchor_maps, fg_mask),
-                **prob_histograms(ct, probs, tm),
+                "class_iou": sums["_class_inter"] / jnp.maximum(
+                    sums["_class_union"], 1.0),
+                "regr_iou": sums["_regr_iou_sum"] / jnp.maximum(
+                    sums["_regr_iou_w"], 1.0),
+                "prob_fg_hist": sums["prob_fg_hist"],
+                "prob_bg_hist": sums["prob_bg_hist"],
             })
         return new_state, metrics
 
     return step_fn
 
 
-def _class_iou(targets: Array, probs: Array, mask: Array) -> Array:
-    """Binary IoU of thresholded classmap vs targets over trainable anchors
-    (reference ``train.py:149-152`` mean_iou with 2 classes)."""
+def _class_iou_sums(targets: Array, probs: Array,
+                    mask: Array) -> Tuple[Array, Array]:
+    """(intersection, union) sums of thresholded classmap vs targets over
+    trainable anchors (reference ``train.py:149-152`` mean_iou with 2
+    classes).  Sum-form for exact micro-batch accumulation."""
     pred = (probs > 0.5).astype(jnp.float32)
     w = mask.astype(jnp.float32)[..., None]
     inter = jnp.sum(pred * targets * w)
     union = jnp.sum(jnp.maximum(pred, targets) * w)
-    return inter / jnp.maximum(union, 1.0)
+    return inter, union
 
 
 def make_classmap_fn(model: RetinaNet, levels: Levels, config: Config):
@@ -263,6 +341,11 @@ class Trainer:
             config.model, num_anchors=self.levels.num_anchors,
             num_classes=loader.num_classes)
         self.num_processes = jax.process_count()
+        if config.train.grad_accum > 1 and (
+                config.data.batch_size % config.train.grad_accum):
+            raise ValueError(
+                f"batch {config.data.batch_size} not divisible by "
+                f"grad_accum={config.train.grad_accum}")
         if config.parallel.spatial > 1:
             # GSPMD spatial partitioning: image height sharded over the
             # mesh's space axis (see ParallelConfig).  Validate the static

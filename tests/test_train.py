@@ -467,3 +467,97 @@ def test_average_checkpoints_serves_param_mean(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mutually exclusive"):
         load_detector(cfg, loader, step=1, average_last=2)
+
+
+def test_grad_accum_duplicated_batch_matches_plain(tmp_path):
+    """grad_accum=2 on a duplicated batch [b; b] must land on exactly the
+    params of a plain step on b: the two micro-gradients are identical, so
+    their mean is the plain gradient — catches sum-vs-mean and micro-batch
+    slicing bugs in the lax.scan accumulation path."""
+    import dataclasses
+
+    cfg1 = _tiny_config(tmp_path, batch_size=2)
+    cfg2 = dataclasses.replace(
+        cfg1,
+        data=dataclasses.replace(cfg1.data, batch_size=4),
+        train=dataclasses.replace(cfg1.train, grad_accum=2))
+
+    levels = build_levels(cfg1.anchors)
+    model = RetinaNet.from_config(cfg1.model, num_anchors=levels.num_anchors)
+    np_rng = np.random.RandomState(0)
+    images, boxes, ids, mask = _random_batch(np_rng, 2, 64, 8)
+    images += np_rng.randn(*images.shape).astype(np.float32) * 0.1
+    dup = lambda x: np.concatenate([x, x], axis=0)
+    rng = jax.random.PRNGKey(7)
+
+    s1, m1 = jax.jit(make_train_step(model, levels, cfg1))(
+        create_train_state(model, cfg1, jax.random.PRNGKey(0)),
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(ids),
+        jnp.asarray(mask), rng)
+    s2, m2 = jax.jit(make_train_step(model, levels, cfg2))(
+        create_train_state(model, cfg2, jax.random.PRNGKey(0)),
+        jnp.asarray(dup(images)), jnp.asarray(dup(boxes)),
+        jnp.asarray(dup(ids)), jnp.asarray(dup(mask)), rng)
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # Sum-form metrics double on the duplicated batch.
+    assert int(m2["num_fg"]) == 2 * int(m1["num_fg"])
+
+
+def test_grad_accum_metric_sums_are_batch_split_invariant(tmp_path):
+    """Diagnostics are accumulated in sum-form across micro-batches: on the
+    SAME batch, accum=4 must reproduce accum=1's full-batch num_fg,
+    histograms, and IoU ratios exactly (the model is per-sample — GroupNorm,
+    no batch coupling — so per-image outputs are split-invariant)."""
+    import dataclasses
+
+    cfg1 = _tiny_config(tmp_path, batch_size=4)
+    cfg4 = dataclasses.replace(
+        cfg1, train=dataclasses.replace(cfg1.train, grad_accum=4))
+
+    levels = build_levels(cfg1.anchors)
+    model = RetinaNet.from_config(cfg1.model, num_anchors=levels.num_anchors)
+    np_rng = np.random.RandomState(1)
+    images, boxes, ids, mask = _random_batch(np_rng, 4, 64, 8)
+    images += np_rng.randn(*images.shape).astype(np.float32) * 0.1
+    args = tuple(jnp.asarray(x) for x in (images, boxes, ids, mask))
+    state0 = create_train_state(model, cfg1, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+
+    _, m1 = jax.jit(make_train_step(model, levels, cfg1))(state0, *args, rng)
+    state0 = create_train_state(model, cfg4, jax.random.PRNGKey(0))
+    _, m4 = jax.jit(make_train_step(model, levels, cfg4))(state0, *args, rng)
+
+    assert int(m1["num_fg"]) == int(m4["num_fg"])
+    for key, tol in (("prob_fg_hist", 1e-4), ("prob_bg_hist", 1e-3),
+                     ("class_iou", 1e-5), ("regr_iou", 1e-5),
+                     ("regularization_loss", 1e-6)):
+        np.testing.assert_allclose(np.asarray(m1[key]), np.asarray(m4[key]),
+                                   rtol=tol, err_msg=key)
+    # Loss scalars legitimately differ (per-micro-batch normalizers) but
+    # must stay in the same ballpark.
+    assert abs(float(m1["total_loss"]) - float(m4["total_loss"])) < 0.5
+
+
+def test_grad_accum_guards(tmp_path):
+    """batch %% grad_accum is validated in the Trainer and the CLI wires
+    --grad-accum into TrainConfig."""
+    import dataclasses
+
+    from retinanet_tpu.config import config_from_args
+    from retinanet_tpu.data.loaders.shapes import Shapes
+
+    cfg = _tiny_config(tmp_path, batch_size=3, grad_accum=2)
+    with pytest.raises(ValueError, match="grad_accum"):
+        Trainer(cfg, loader=Shapes(None, 8, (64, 64)))
+
+    parsed = config_from_args([
+        "--dataset", "shapes", "x", "8", "64", "--experiment",
+        str(tmp_path), "--grad-accum", "4", "--batch-size", "8"])
+    assert parsed.train.grad_accum == 4
