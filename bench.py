@@ -27,10 +27,12 @@ def main(argv=None):
                         choices=["none", "int8"])
     parser.add_argument("--backbone", type=str, default="resnet_50_dense")
     parser.add_argument("--skip-train-bench", action="store_true")
-    parser.add_argument("--fused-blocks", action="store_true",
+    parser.add_argument("--fused-blocks", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="fused whole-bottleneck Pallas serving kernels "
-                             "(A/B lever; default decided by measurement, "
-                             "see NOTES round 3)")
+                             "(measured 1.042x in-model on v5e, NOTES round "
+                             "3; defaults on for TPU serving benches, off "
+                             "elsewhere)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -39,13 +41,6 @@ def main(argv=None):
     # Serving config: approx_max_k candidate selection (single-pass TPU
     # PartialReduce instead of a full sort; ≥95% of the true per-level
     # top-1000 — measured mAP-neutral on shapes, see NOTES round 3).
-    config = dataclasses.replace(
-        config,
-        model=dataclasses.replace(config.model,
-                                  backbone=args.backbone,
-                                  quantize=args.quantize,
-                                  fused_blocks=args.fused_blocks),
-        nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     backend_note = None
     try:
         backend = jax.default_backend()
@@ -58,6 +53,22 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         backend = jax.default_backend()
     on_tpu = backend == "tpu"
+    # Fused whole-bottleneck Pallas serving kernels: measured 1.042x
+    # in-model at b128@640 on v5e (569.2 vs 546.3 img/s, NOTES round 3);
+    # mAP-neutral on the trained flagship.  TPU-only (the kernel targets
+    # Mosaic; CPU interpret mode would dominate runtime), dense-ResNet
+    # only, float only (the int8 path uses the XLA convs).
+    fused = args.fused_blocks
+    if fused is None:
+        fused = (on_tpu and args.quantize == "none"
+                 and args.backbone == "resnet_50_dense")
+    config = dataclasses.replace(
+        config,
+        model=dataclasses.replace(config.model,
+                                  backbone=args.backbone,
+                                  quantize=args.quantize,
+                                  fused_blocks=fused),
+        nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
     # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.
     batch_size = 128 if on_tpu else 2

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 # Group-count policy is owned by models/layers.resolve_groups — one
@@ -57,16 +58,25 @@ def _gn_act(y: Array, gamma: Array, beta: Array, groups: int, eps: float,
     s1 = jnp.sum(y32, axis=0, keepdims=True)    # [1, C]
     s2 = jnp.sum(y32 * y32, axis=0, keepdims=True)
     cg = c // groups
-    s1g = jnp.sum(s1.reshape(groups, cg), axis=1, keepdims=True)  # [G,1]
-    s2g = jnp.sum(s2.reshape(groups, cg), axis=1, keepdims=True)
+    # Group-sum + broadcast-back as two tiny matmuls against a 0/1
+    # channel→group membership matrix.  Mosaic cannot lane-reshape
+    # [1, C] → [G, C/G] ("infer-vector-layout: unsupported shape cast"
+    # on real TPU; interpret mode accepted it), but 2-D iota and dots
+    # lower fine, and HIGHEST keeps the f32 accumulation exact.
+    ch_of = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    member = (ch_of == grp).astype(jnp.float32)          # [C, G]
+    gsum = lambda s: jnp.dot(
+        jnp.dot(s, member, precision=jax.lax.Precision.HIGHEST),
+        member.T, precision=jax.lax.Precision.HIGHEST)   # [1, C], per-group
     cnt = m * cg
-    mean = s1g / cnt
-    var = jnp.maximum(s2g / cnt - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)              # [G,1]
-    gamma32 = gamma.astype(jnp.float32).reshape(groups, cg)
-    beta32 = beta.astype(jnp.float32).reshape(groups, cg)
-    scale = (inv * gamma32).reshape(1, c)
-    shift = (beta32 - mean * inv * gamma32).reshape(1, c)
+    mean = gsum(s1) / cnt                                # [1, C]
+    var = jnp.maximum(gsum(s2) / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                       # [1, C]
+    gamma32 = gamma.astype(jnp.float32)                  # [1, C]
+    beta32 = beta.astype(jnp.float32)
+    scale = inv * gamma32
+    shift = beta32 - mean * inv * gamma32
     out = yb * scale.astype(jnp.bfloat16) + shift.astype(jnp.bfloat16)
     if relu:
         out = jnp.maximum(out, 0)
@@ -131,5 +141,10 @@ def fused_bottleneck(x: Array, k1: Array, g1: Array, b1: Array,
                  + [full(a) for a in operands[1:]],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+        # Whole-image residency + fp32 stats temporaries exceed the 16 MB
+        # default scoped-VMEM budget at res3 scale (measured: 25 MB needed
+        # for [80,80,512]/f=128 at 640px).  v5e has 128 MB VMEM; raise the
+        # kernel budget and let the in-model A/B decide adoption.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(*operands)
