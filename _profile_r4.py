@@ -1,0 +1,269 @@
+"""Round-4 TPU measurement harness (VERDICT r3 directives).
+
+In-model A/B runs for this round's levers, one subcommand per TPU process
+(tunnel rules: never two TPU processes at once):
+
+    timeout 1800 python _profile_r4.py r2strips [batch] [size]
+    timeout 1800 python _profile_r4.py stemfuse [batch] [size]
+    timeout 1800 python _profile_r4.py int8head [batch] [size]
+    timeout 1800 python _profile_r4.py bwdprof  [batch] [size]
+
+Shares timing/builders with `_profile_r3.py` (same methodology so numbers
+are comparable across rounds).
+"""
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _profile_r3 import (V5E_BF16_PEAK, V5E_HBM_BW, _cost, _flagship,
+                         sync, timeit)
+
+
+def r2strips(batch=128, size=640):
+    """VERDICT r3 #1: strip-tiled fused res2 bottleneck.  The whole-image
+    kernel (strip_rows=0) lost the round-3 A/B because res2's 160×160×256
+    images thrash VMEM; the strip kernel bounds residency with two
+    [H,W,64] scratch planes.  Sweep strip_rows in-model."""
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    config, levels, model, params, images = _flagship(
+        batch, size, use_approx_top_k=True)
+    cfg_f = dataclasses.replace(
+        config, model=dataclasses.replace(config.model, fused_blocks=True))
+    model_f = RetinaNet.from_config(cfg_f.model, levels.num_anchors, 80)
+    full_f = make_inference_fn(model_f, levels, cfg_f)
+    t0 = timeit(full_f, params, images)
+    print(f"fused(res3+)           {batch/t0:7.1f} img/s  {t0*1e3:7.1f} ms",
+          flush=True)
+
+    ref_small = jax.device_get(full_f(params, images[:8]))
+    for strip_rows in (0, 20, 40, 80):
+        cfg_s = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True,
+                fused_res2_strips=strip_rows))
+        model_s = RetinaNet.from_config(cfg_s.model, levels.num_anchors, 80)
+        full_s = make_inference_fn(model_s, levels, cfg_s)
+        try:
+            t = timeit(full_s, params, images)
+            out = jax.device_get(full_s(params, images[:8]))
+            dmax = max(
+                float(np.abs(np.asarray(getattr(ref_small, k), np.float32)
+                             - np.asarray(getattr(out, k), np.float32)).max())
+                for k in ("boxes", "scores"))
+            print(f"+res2 strips={strip_rows:<3d}      {batch/t:7.1f} img/s"
+                  f"  {t*1e3:7.1f} ms  ({t0/t:.3f}x)  max|d|={dmax:.4g}",
+                  flush=True)
+        except Exception as e:
+            print(f"+res2 strips={strip_rows}: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
+def stemfuse(batch=128, size=640):
+    """VERDICT r3 #1b: fused stem probe.  The stem (7x7/2 conv + GN + relu
+    + 3x3/2 maxpool) runs at 10% MFU / 50% HBM util (13.2 ms of 241).
+    Measure the XLA stem against a Pallas fused stem kernel in isolation
+    first — in-model only if the isolated number clears the bar."""
+    from retinanet_tpu.ops.pallas.stem import fused_stem
+    from retinanet_tpu.models.layers import GroupNorm, max_pool_same
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, size, size, 3), jnp.bfloat16)
+    w = jax.random.normal(rng, (7, 7, 3, 64), jnp.float32) * 0.05
+    gamma = jnp.ones((64,), jnp.float32)
+    beta = jnp.zeros((64,), jnp.float32)
+
+    @jax.jit
+    def xla_stem(x, w, gamma, beta):
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(jnp.bfloat16), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16)
+        y = GroupNorm(groups=32).apply(
+            {"params": {"gamma": gamma, "beta": beta}}, y)
+        return max_pool_same(jnp.maximum(y, 0), 3, 2)
+
+    t0 = timeit(xla_stem, x, w, gamma, beta)
+    ref = xla_stem(x, w, gamma, beta)
+    print(f"xla stem   {t0*1e3:8.3f} ms", flush=True)
+
+    fused = jax.jit(fused_stem)
+    t1 = timeit(fused, x, w, gamma, beta)
+    out = fused(x, w, gamma, beta)
+    d = np.abs(np.asarray(ref[:4], np.float32)
+               - np.asarray(out[:4], np.float32))
+    print(f"pallas stem {t1*1e3:8.3f} ms  ({t0/t1:.3f}x)  "
+          f"max|d|={d.max():.4g}", flush=True)
+
+
+def int8head(batch=128, size=640):
+    """VERDICT r3 #2: Pallas int8 head kernel with im2col formed in VMEM.
+    Isolated A/B at every pyramid-level head shape, then in-model."""
+    from retinanet_tpu.ops.pallas.int8_conv import int8_conv3x3
+
+    import functools
+
+    rng = jax.random.PRNGKey(0)
+    shapes = [(batch, size // s, size // s, 256) for s in (8, 16, 32, 64, 128)]
+    for cout, tag in ((720, "cls-out"), (256, "trunk")):
+        w = (jax.random.normal(rng, (3, 3, 256, cout), jnp.float32) * 0.05)
+        for (b, h, ww, c) in shapes[:3]:
+            x = jax.random.normal(rng, (b, h, ww, c), jnp.bfloat16)
+
+            @jax.jit
+            def xla_conv(x, w):
+                return jax.lax.conv_general_dilated(
+                    x, w.astype(jnp.bfloat16), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.bfloat16)
+
+            flops = 2 * b * h * ww * 9 * c * cout
+            t0 = timeit(xla_conv, x, w)
+            best = (None, None)
+            for sr in (8, 16, 20, 40):
+                if sr > h:
+                    continue
+                t1 = timeit(jax.jit(functools.partial(
+                    int8_conv3x3, strip_rows=sr)), x, w)
+                if best[0] is None or t1 < best[0]:
+                    best = (t1, sr)
+            t1, sr = best
+            print(f"{tag} P{int(np.log2(size//h))} [{b},{h},{ww},{c}]->"
+                  f"{cout}: xla {t0*1e3:7.2f} ms ({flops/t0/1e12:6.1f} TF/s)"
+                  f"  pallas-int8 {t1*1e3:7.2f} ms ({flops/t1/1e12:6.1f}"
+                  f" TOP/s, {t0/t1:.3f}x, strips={sr})", flush=True)
+
+
+def int8headmodel(batch=128, size=640):
+    """Decisive int8-head measurement: the FULL classification head (4x
+    ConvGN(256)+ELU, then the 720-out conv) over all five pyramid levels,
+    jitted as one program — XLA bf16 vs the Pallas int8 kernel for every
+    3x3 conv.  This keeps XLA's cross-op fusion context (the round-2/3
+    lesson: isolated conv numbers mislead in both directions)."""
+    import functools
+
+    from retinanet_tpu.ops.pallas.int8_conv import int8_conv3x3
+
+    rng = jax.random.PRNGKey(0)
+    feats = [jax.random.normal(jax.random.fold_in(rng, s),
+                               (batch, size // s, size // s, 256),
+                               jnp.bfloat16)
+             for s in (8, 16, 32, 64, 128)]
+    wts = [jax.random.normal(jax.random.fold_in(rng, 100 + i),
+                             (3, 3, 256, 256), jnp.float32) * 0.04
+           for i in range(4)]
+    wout = jax.random.normal(rng, (3, 3, 256, 720), jnp.float32) * 0.04
+    gn = [(jnp.ones((256,), jnp.float32), jnp.zeros((256,), jnp.float32))
+          for _ in range(4)]
+
+    def gn_elu(y, gamma, beta):
+        n, h, w, c = y.shape
+        y32 = y.astype(jnp.float32)
+        s1 = jnp.sum(y32, axis=(1, 2)).reshape(n, 32, 8).sum(-1)
+        s2 = jnp.sum(y32 * y32, axis=(1, 2)).reshape(n, 32, 8).sum(-1)
+        cnt = h * w * 8
+        mean = (s1 / cnt).repeat(8, -1)
+        var = jnp.maximum((s2 / cnt).repeat(8, -1) - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        out = y * jax.lax.broadcast_in_dim(
+            (inv * gamma).astype(y.dtype), y.shape, (0, 3)) \
+            + jax.lax.broadcast_in_dim(
+                (beta - mean * inv * gamma).astype(y.dtype), y.shape, (0, 3))
+        return jax.nn.elu(out)
+
+    def head(conv, feats):
+        outs = []
+        for f in feats:
+            x = f
+            for i in range(4):
+                x = gn_elu(conv(x, wts[i]), *gn[i])
+            outs.append(conv(x, wout))
+        return outs
+
+    def xla_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w.astype(jnp.bfloat16), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16)
+
+    flops = 2 * 9 * 256 * sum(
+        int(np.prod(f.shape[:3])) * (4 * 256 + 720) for f in feats)
+    t0 = timeit(jax.jit(functools.partial(head, xla_conv)), feats)
+    print(f"xla bf16 head   {t0*1e3:8.2f} ms  "
+          f"({flops/t0/1e12:6.1f} TF/s)", flush=True)
+
+    def pconv(x, w):
+        # Pallas int8 only where the map is big enough to matter (and for
+        # Mosaic's int8 (32,128) tiling): P5-P7 maps stay on XLA bf16.
+        if x.shape[1] >= 16:
+            return int8_conv3x3(x, w, strip_rows=8)
+        return xla_conv(x, w)
+
+    t1 = timeit(jax.jit(functools.partial(head, pconv)), feats)
+    print(f"pallas int8 head {t1*1e3:8.2f} ms  "
+          f"({flops/t1/1e12:6.1f} TOP/s, {t0/t1:.3f}x)", flush=True)
+
+
+def rematsweep(size=640):
+    """bwdprof found the backbone backward HBM-SATURATED (82-103% util,
+    9-27% MFU).  Remat changes the traffic equation: saved activations
+    stop round-tripping HBM at the cost of recompute FLOPs — which are
+    nearly free at these MFUs.  Measure remat on/off at b16/b32."""
+    import dataclasses as dc
+
+    from retinanet_tpu import train as T
+
+    config, *_ = _flagship(1, size)
+    for remat in (False, True):
+        cfg = dc.replace(
+            config, model=dc.replace(config.model, remat=remat))
+        for b in (16, 32):
+            try:
+                r = T.benchmark_train(cfg, batch_size=b, steps=6, warmup=2)
+                print(f"remat={int(remat)} b{b:<3d} "
+                      f"{r['images_per_sec']:7.1f} img/s  "
+                      f"{r['step_ms']:7.1f} ms/step", flush=True)
+            except Exception as e:
+                print(f"remat={int(remat)} b{b}: {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+
+
+def bwdprof(batch=16, size=640):
+    """VERDICT r3 #4: attribute the 67.3 ms backward.  Cumulative-prefix
+    VJPs: grad of loss w.r.t. params with the model truncated at each tap
+    (same DCE-prefix methodology as the fwd stage table)."""
+    from retinanet_tpu.models.retinanet import RetinaNet
+    from retinanet_tpu.models.resnet import ResNet50
+
+    config, levels, model, params, _ = _flagship(batch, size)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (batch, size, size, 3), jnp.bfloat16)
+
+    bb = ResNet50()
+    bparams = bb.init(rng, jnp.zeros((1, 64, 64, 3)),
+                      training=False)["params"]
+
+    taps = ["C2", "C3", "C4", "C5"]
+    prev = 0.0
+    for tap in taps:
+        def loss_fn(p, tap=tap):
+            outs = bb.apply({"params": p}, x, training=True)
+            return jnp.sum(outs[tap].astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss_fn))
+        t = timeit(g, bparams)
+        flops, bts = _cost(g, bparams)
+        print(f"bwd-through-{tap}: {t*1e3:8.2f} ms  (+{(t-prev)*1e3:7.2f})"
+              f"  MFU {flops/t/V5E_BF16_PEAK*100:5.1f}%"
+              f"  HBM {bts/t/V5E_HBM_BW*100:5.1f}%", flush=True)
+        prev = t
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    args = [int(a) for a in sys.argv[2:]]
+    globals()[cmd](*args)

@@ -132,6 +132,15 @@ def main(argv=None):
             num_classes=80 if on_tpu else 4)
         record["train_images_per_sec_pipeline"] = round(
             pipe["images_per_sec"], 2)
+        if on_tpu:
+            # Through the axon tunnel the host->device batch transfer
+            # (~39 MB uint8/batch at ~50-100 MB/s) binds this number, not
+            # the framework: measured 54-104 img/s swings across sessions
+            # on identical code (NOTES round 3).  The synthetic-step
+            # train_images_per_sec above is the device-capability figure.
+            record["pipeline_note"] = (
+                "tunnel-transfer-bound; varies 54-104 img/s with tunnel "
+                "throughput, not a framework regression signal")
     except Exception as e:  # never lose the headline metric
         record["train_bench_error"] = f"{type(e).__name__}: {e}"
 

@@ -118,6 +118,13 @@ class ModelConfig:
     # its 160x160x256 images are the largest VMEM residents — so res2
     # fusion is a separate measured A/B lever, not implied by fused_blocks.
     fused_res2: bool = False
+    # H-strip tiling for fused res2 blocks (rows per strip; 0 = whole-image
+    # kernel).  res2's 160×160 canvases thrash as whole-image VMEM
+    # residents — the strip kernel stages intermediates through two
+    # [H,W,64]-bf16 scratch planes instead (ops/pallas/bottleneck.py:
+    # _strip_kernel).  Other stages always use the whole-image kernel
+    # (they fit, and it skips the conv3 recompute).
+    fused_res2_strips: int = 20
 
 
 @dataclasses.dataclass(frozen=True)
@@ -196,6 +203,13 @@ class TrainConfig:
     # into <experiment>/profile — view with TensorBoard's profile plugin.
     # 0 = off.  The reference had no profiling at all.
     profile_steps: int = 0
+    # Initialize the backbone from a weights file before step 0 (npz from
+    # utils.pretrained.save_backbone, or a torch/torchvision state_dict —
+    # .pt/.pth/.npz; layout-converted + name-mapped on import).  Ignored
+    # when resuming from an experiment checkpoint.  The reference downloads
+    # TF-slim resnet weights it never loads (download_weights.sh); this
+    # makes the capability real.
+    init_backbone: Optional[str] = None
     experiment: str = "experiments/default"
     seed: int = 42
 
@@ -366,6 +380,11 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
              "JAX_PLATFORMS env var is unreliable under platform plugins "
              "that register at import time")
     parser.add_argument(
+        "--init-backbone", type=str, default=None, metavar="PATH",
+        help="initialize the backbone from a weights file (save_backbone "
+             "npz or a torch/torchvision state_dict) when starting fresh; "
+             "ignored on checkpoint resume")
+    parser.add_argument(
         "--profile", type=int, default=0, metavar="N",
         help="capture a jax.profiler trace of N hot train steps into "
              "<experiment>/profile (TensorBoard profile plugin)")
@@ -397,6 +416,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("data.augment_scale_jitter", args.augment_scale_jitter),
         ("parallel.spatial", args.spatial),
         ("train.grad_accum", args.grad_accum),
+        ("train.init_backbone", args.init_backbone),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.workers is not None:

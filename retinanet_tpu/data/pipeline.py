@@ -207,11 +207,23 @@ def process_sample(sample: Dict, image_size, mean: np.ndarray,
 
 
 class Pipeline:
-    """Iterable over :class:`Batch`es with shuffle + threaded prefetch."""
+    """Iterable over :class:`Batch`es with shuffle + threaded prefetch.
+
+    ``scheduled_canvases=True`` (multi-process mode) replaces per-batch
+    least-padding bucket choice with a **deterministic canvas schedule**:
+    the canvas of global step *t* is drawn from a seeded RNG that depends
+    only on (seed, epoch, t) — identical on every process — so
+    ``jax.make_array_from_process_local_data`` always assembles shards of
+    one agreed shape.  Each process keeps per-ideal-bucket queues and
+    fills the scheduled batch preferring samples whose least-padding
+    bucket matches, falling back to the longest queue (any image renders
+    onto any canvas — bucket mismatch costs padding, never correctness).
+    """
 
     def __init__(self, loader: Base, config: DataConfig,
                  max_boxes: int = 100, training: bool = True,
-                 seed: int = 42):
+                 seed: int = 42, scheduled_canvases: bool = False,
+                 schedule_seed: Optional[int] = None):
         if not 0.0 <= config.augment_scale_jitter < 1.0:
             # J >= 1 would draw negative resize factors (the documented
             # semantics are U[1-J, 1]) and silently shrink images to ~1px.
@@ -223,6 +235,13 @@ class Pipeline:
         self.max_boxes = max_boxes
         self.training = training
         self.seed = seed
+        self.scheduled_canvases = bool(scheduled_canvases and config.buckets)
+        # The schedule must be drawn from PROCESS-SHARED state: train.py
+        # seeds per-process pipelines with seed+process_index (shuffle may
+        # diverge) but passes the bare train seed here so every process
+        # draws the identical canvas sequence.
+        self.schedule_seed = self.seed if schedule_seed is None \
+            else int(schedule_seed)
         self._mean = np.asarray(config.mean, np.float32)
         self._std = np.asarray(config.std, np.float32)
 
@@ -268,9 +287,14 @@ class Pipeline:
                         1.0 - rng.uniform(0.0, cfg.augment_scale_jitter))
                 yield index, sample, flip, photometric, jitter
 
-        def prepare(item):
+        def prepare(item, canvas_override=None):
             index, sample, flip, photometric, jitter = item
-            sample, canvas = select_canvas(sample, cfg)
+            if canvas_override is None:
+                sample, canvas = select_canvas(sample, cfg)
+            else:
+                # Scheduled mode: render onto the step's agreed canvas
+                # (image already decoded by the classify stage).
+                canvas = canvas_override
             out = process_sample(
                 sample, canvas, self._mean, self._std, self.max_boxes,
                 flip, photometric=photometric, scale_jitter=jitter,
@@ -291,6 +315,11 @@ class Pipeline:
             )
 
         with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
+            if self.scheduled_canvases:
+                yield from self._scheduled_batches(
+                    pool, with_augment_draws(), prepare, make_batch,
+                    epoch_index)
+                return
             # One accumulator per canvas: with buckets enabled, a batch is
             # homogeneous in canvas shape (one compiled program per bucket);
             # without buckets there is a single accumulator.  Per-bucket
@@ -303,6 +332,57 @@ class Pipeline:
                 bucket.append(processed)
                 if len(bucket) == cfg.batch_size:
                     yield make_batch(pending.pop(key))
+
+    def _scheduled_batches(self, pool, stream, prepare, make_batch,
+                           epoch_index: int) -> Iterator[Batch]:
+        """Deterministic-canvas batching (see class docstring).
+
+        Batch *t*'s canvas comes from an RNG seeded only with
+        (schedule_seed, epoch) — every process draws the same sequence, so
+        the t-th batch has the same shape everywhere and
+        ``make_array_from_process_local_data`` always assembles cleanly.
+        Unlike least-padding batching there are NO per-bucket remainder
+        drops: every sample is used (any image renders onto any canvas),
+        so each process yields exactly ``len(shard) // batch_size``
+        batches — which keeps train.py's ``_sync_steps_per_epoch``
+        arithmetic exact.
+        """
+        cfg = self.config
+        buckets = [tuple(map(int, b)) for b in cfg.buckets]
+        sched = np.random.RandomState(
+            (self.schedule_seed * 977 + epoch_index * 9176 + 13) % (2**31))
+        queues = {b: [] for b in buckets}
+        pending = 0
+        # Buffer a few batches of lookahead so the scheduled canvas usually
+        # finds matching (least-padding-ideal) samples waiting.
+        lookahead = cfg.batch_size * max(2, len(buckets))
+
+        def classify(item):
+            index, sample, flip, photometric, jitter = item
+            sample, ideal = select_canvas(sample, cfg)
+            return (index, sample, flip, photometric, jitter), ideal
+
+        def emit():
+            canvas = buckets[sched.randint(len(buckets))]
+            q = queues[canvas]
+            chosen = q[:cfg.batch_size]
+            del q[:len(chosen)]
+            while len(chosen) < cfg.batch_size:
+                # Mismatch fallback: drain the longest queue — costs
+                # padding on this batch, never correctness.
+                chosen.append(max(queues.values(), key=len).pop(0))
+            return make_batch(list(pool.map(
+                lambda it: prepare(it, canvas_override=canvas), chosen)))
+
+        for item, ideal in pool.map(classify, stream, chunksize=1):
+            queues[ideal].append(item)
+            pending += 1
+            if pending >= lookahead:
+                yield emit()
+                pending -= cfg.batch_size
+        while pending >= cfg.batch_size:
+            yield emit()
+            pending -= cfg.batch_size
 
     def prefetched(self, epoch_index: int = 0) -> Iterator[Batch]:
         """epoch() with a background producer thread."""
@@ -331,10 +411,13 @@ class Pipeline:
 
 
 def build_pipeline(loader: Base, config: DataConfig, max_boxes: int = 100,
-                   training: bool = True, seed: int = 42) -> Pipeline:
+                   training: bool = True, seed: int = 42,
+                   scheduled_canvases: bool = False,
+                   schedule_seed: Optional[int] = None) -> Pipeline:
     """Reference ``dataset.build_dataset`` equivalent (``dataset.py:154``)."""
     return Pipeline(loader, config, max_boxes=max_boxes, training=training,
-                    seed=seed)
+                    seed=seed, scheduled_canvases=scheduled_canvases,
+                    schedule_seed=schedule_seed)
 
 
 def compute_mean_std(loader: Base, image_size: int = 256,

@@ -132,6 +132,11 @@ def main(argv=None):
              "ResNet backbone (1 HBM read + 1 write per identity block); "
              "checkpoint-compatible with the unfused model")
     parser.add_argument(
+        "--fused-res2", action="store_true",
+        help="with --fused-blocks: extend fusion to res2 via the "
+             "strip-tiled kernel (fused_res2_strips=20, the measured "
+             "winner — NOTES round 4)")
+    parser.add_argument(
         "--data-parallel", action="store_true",
         help="shard eval batches over ALL local devices (params replicated, "
              "batch split on a 1-D data mesh; no collectives — decode/NMS "
@@ -187,6 +192,7 @@ def main(argv=None):
         ("nms.use_approx_top_k", bool(args.approx_top_k)),
         ("nms.use_approx_global_top_k", bool(args.approx_global_top_k)),
         ("model.fused_blocks", bool(args.fused_blocks)),
+        ("model.fused_res2", bool(args.fused_res2)),
     ]:
         config = _apply_dotted(config, dotted, value)
 

@@ -39,23 +39,35 @@ class UpsampleMerge(nn.Module):
 
 
 class FPN(nn.Module):
-    """{'C3','C4','C5'} → {'P3'..'P7'} (reference ``retinanet.py:163-221``)."""
+    """{'C3','C4','C5'} → {'P3'..'P7'} (reference ``retinanet.py:163-221``).
+
+    ``space_hint`` (optional callable, set only under a 2-D (data, space)
+    mesh) pins the deepest levels' sharding: P6/P7 feature maps are 1-4
+    pixels tall at typical scales — the space axis has nothing to shard —
+    and without the hint the SPMD partitioner falls into "involuntary full
+    rematerialization" bridging their backward cotangents between dgrad
+    and wgrad layouts (MULTICHIP_r03 tail).  The tensors are tiny, so the
+    constraint costs nothing in the forward.
+    """
 
     channels: int = 256
     activation: str = "elu"
     quantize: bool = False
+    space_hint: Any = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, c: Dict[str, Array], *,
                  training: bool = False) -> Dict[str, Array]:
         act = get_activation(self.activation)
-        p6 = ConvGN(self.channels, kernel_size=3, strides=2,
-                    kernel_init=normal_001, quantize=self.quantize,
-                    dtype=self.dtype)(c["C5"], training=training)
-        p7 = ConvGN(self.channels, kernel_size=3, strides=2,
-                    kernel_init=normal_001, quantize=self.quantize,
-                    dtype=self.dtype)(act(p6), training=training)
+        hint = self.space_hint if self.space_hint is not None else (
+            lambda x: x)
+        p6 = hint(ConvGN(self.channels, kernel_size=3, strides=2,
+                         kernel_init=normal_001, quantize=self.quantize,
+                         dtype=self.dtype)(hint(c["C5"]), training=training))
+        p7 = hint(ConvGN(self.channels, kernel_size=3, strides=2,
+                         kernel_init=normal_001, quantize=self.quantize,
+                         dtype=self.dtype)(act(p6), training=training))
         p5 = ConvGN(self.channels, kernel_size=1, kernel_init=normal_001,
                     quantize=self.quantize,
                     dtype=self.dtype)(c["C5"], training=training)

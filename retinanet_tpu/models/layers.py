@@ -127,11 +127,22 @@ class GroupNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.eps)
         gamma_g = gamma.reshape(groups, c // groups)[None]
         beta_g = beta.reshape(groups, c // groups)[None]
-        scale = (inv * gamma_g).reshape(n, 1, 1, c)
-        shift = (beta_g - mean * inv * gamma_g).reshape(n, 1, 1, c)
+        # Keep the per-image affine RANK-2 [n, c] and expand it with an
+        # explicit broadcast_in_dim (dims (0, 3)): under a 2-D (data,
+        # space) mesh the partitioner tried to shard the size-1 dims of a
+        # materialized [n,1,1,c] scale across the space axis in the
+        # backward and fell into "involuntary full rematerialization"
+        # (MULTICHIP_r03 tail).  A [:, None, None] broadcast still creates
+        # that rank-4 intermediate in HLO; broadcast_in_dim from [n, c]
+        # does not, so its transpose reduces straight to a batch-sharded
+        # 2-D tensor (checked with _spatial_repro.py).
+        scale = (inv * gamma_g).reshape(n, c)
+        shift = (beta_g - mean * inv * gamma_g).reshape(n, c)
         # Apply in the input dtype: bf16 tensors stay bf16 through the
         # affine (one read + one write), fp32 tensors get exact math.
-        out = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+        bcast = lambda a: jax.lax.broadcast_in_dim(
+            a.astype(x.dtype), x.shape, (0, 3))
+        out = x * bcast(scale) + bcast(shift)
         if self.activation is not None:
             out = get_activation(self.activation)(out)
         return out.astype(self.dtype)

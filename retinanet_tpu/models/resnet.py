@@ -94,6 +94,9 @@ class ResNetBottleneck(nn.Module):
     project: Union[bool, str]
     quantize: bool = False
     fused: bool = False
+    # H-strip rows for the fused kernel (0 = whole-image; see
+    # ops/pallas/bottleneck.py:_strip_kernel).
+    fused_strip_rows: int = 0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -128,7 +131,8 @@ class ResNetBottleneck(nn.Module):
             k3, g3, b3 = conv3(inner, params_only=True)
             return fused_bottleneck(
                 x, k1, g1, b1, k2, g2, b2, k3, g3, b3,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                strip_rows=self.fused_strip_rows)
         x = conv1(x, training=training)
         x = conv2(x, training=training)
         x = conv3(x, training=training)
@@ -145,6 +149,7 @@ class ResNet50(nn.Module):
     quantize: bool = False
     fused_blocks: bool = False
     fused_res2: bool = False
+    fused_res2_strips: int = 20
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -171,6 +176,9 @@ class ResNet50(nn.Module):
                                          fused=self.fused_blocks
                                                and (filters >= 128
                                                     or self.fused_res2),
+                                         fused_strip_rows=(
+                                             self.fused_res2_strips
+                                             if filters == 64 else 0),
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x

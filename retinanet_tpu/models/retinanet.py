@@ -34,7 +34,8 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
                    dtype: Any = jnp.bfloat16,
                    remat: bool = False, quantize: bool = False,
                    fused_blocks: bool = False,
-                   fused_res2: bool = False) -> nn.Module:
+                   fused_res2: bool = False,
+                   fused_res2_strips: int = 20) -> nn.Module:
     """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
     ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
     if name == "resnet_50":
@@ -43,7 +44,8 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
     if name == "resnet_50_dense":
         return ResNet50(activation=activation, remat=remat,
                         quantize=quantize, fused_blocks=fused_blocks,
-                        fused_res2=fused_res2, dtype=dtype)
+                        fused_res2=fused_res2,
+                        fused_res2_strips=fused_res2_strips, dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
                              remat=remat, quantize=quantize, dtype=dtype)
@@ -77,12 +79,22 @@ class RetinaNet(nn.Module):
     # backbone (ops/pallas/bottleneck.py); inference-only, param-compatible.
     fused_blocks: bool = False
     fused_res2: bool = False
+    fused_res2_strips: int = 20
+    # Sharding hint for the deepest FPN levels under a 2-D (data, space)
+    # mesh (see FPN.space_hint).  Built by from_config(mesh=...) / the
+    # Trainer's spatial path; None on 1-D meshes.
+    space_hint: Any = None
     dtype: Any = jnp.bfloat16
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, num_anchors: int = 9,
-                    num_classes: int = None) -> "RetinaNet":
+                    num_classes: int = None, mesh=None) -> "RetinaNet":
+        space_hint = None
+        if mesh is not None and len(mesh.axis_names) > 1:
+            from retinanet_tpu.parallel.mesh import space_replicated_hint
+            space_hint = space_replicated_hint(mesh)
         return cls(
+            space_hint=space_hint,
             backbone=cfg.backbone,
             num_classes=cfg.num_classes if num_classes is None else num_classes,
             num_anchors=num_anchors,
@@ -95,15 +107,18 @@ class RetinaNet(nn.Module):
             quantize=cfg.quantize == "int8",
             fused_blocks=cfg.fused_blocks,
             fused_res2=cfg.fused_res2,
+            fused_res2_strips=cfg.fused_res2_strips,
             dtype=jnp.dtype(cfg.compute_dtype))
 
     def setup(self):
         self.backbone_net = build_backbone(
             self.backbone, self.activation, self.dropout_rate, self.dtype,
             remat=self.remat, quantize=self.quantize,
-            fused_blocks=self.fused_blocks, fused_res2=self.fused_res2)
+            fused_blocks=self.fused_blocks, fused_res2=self.fused_res2,
+            fused_res2_strips=self.fused_res2_strips)
         self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
-                       quantize=self.quantize, dtype=self.dtype)
+                       quantize=self.quantize, space_hint=self.space_hint,
+                       dtype=self.dtype)
         # Heads stay float under int8 serving: fp32-safe logits/regression
         # is the principled serving split, and XLA's int8 conv lowering
         # yields no compensating speedup anyway (NOTES.md).  Measured

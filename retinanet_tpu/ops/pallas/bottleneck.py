@@ -46,17 +46,22 @@ from jax.experimental.pallas import tpu as pltpu
 from retinanet_tpu.models.layers import resolve_groups  # noqa: E402,F401
 
 
-def _gn_act(y: Array, gamma: Array, beta: Array, groups: int, eps: float,
-            relu: bool) -> Array:
-    """GroupNorm + optional relu of a [M, C] activation, matching the XLA
-    path bit-placement: stats in fp32 from the bf16-rounded activation,
-    affine applied in bf16."""
-    m, c = y.shape
-    yb = y.astype(jnp.bfloat16)
+def _gn_partial_stats(yb: Array):
+    """Per-channel fp32 (sum, sum-of-squares) of a bf16 [M, C] slab —
+    the strip-accumulable half of the GN moments."""
     y32 = yb.astype(jnp.float32)
     # Everything stays >=2D (Mosaic has no 1D vector layout).
     s1 = jnp.sum(y32, axis=0, keepdims=True)    # [1, C]
     s2 = jnp.sum(y32 * y32, axis=0, keepdims=True)
+    return s1, s2
+
+
+def _gn_scale_shift(s1: Array, s2: Array, m: int, gamma: Array, beta: Array,
+                    groups: int, eps: float):
+    """Finalize GN moments from per-channel sums over ``m`` rows into the
+    per-channel bf16 (scale, shift) of the fused affine
+    ``out = yb * scale + shift``."""
+    c = s1.shape[-1]
     cg = c // groups
     # Group-sum + broadcast-back as two tiny matmuls against a 0/1
     # channel→group membership matrix.  Mosaic cannot lane-reshape
@@ -77,7 +82,19 @@ def _gn_act(y: Array, gamma: Array, beta: Array, groups: int, eps: float,
     beta32 = beta.astype(jnp.float32)
     scale = inv * gamma32
     shift = beta32 - mean * inv * gamma32
-    out = yb * scale.astype(jnp.bfloat16) + shift.astype(jnp.bfloat16)
+    return scale.astype(jnp.bfloat16), shift.astype(jnp.bfloat16)
+
+
+def _gn_act(y: Array, gamma: Array, beta: Array, groups: int, eps: float,
+            relu: bool) -> Array:
+    """GroupNorm + optional relu of a [M, C] activation, matching the XLA
+    path bit-placement: stats in fp32 from the bf16-rounded activation,
+    affine applied in bf16."""
+    m, _ = y.shape
+    yb = y.astype(jnp.bfloat16)
+    s1, s2 = _gn_partial_stats(yb)
+    scale, shift = _gn_scale_shift(s1, s2, m, gamma, beta, groups, eps)
+    out = yb * scale + shift
     if relu:
         out = jnp.maximum(out, 0)
     return out
@@ -112,21 +129,128 @@ def _block_kernel(x_ref, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref, b2_ref,
     out_ref[0] = out.reshape(h, w, c)
 
 
+def _strip_kernel(x_ref, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref, b2_ref,
+                  k3_ref, g3_ref, b3_ref, out_ref, y1_scr, y2_scr, *,
+                  eps: float, strips):
+    """Strip-tiled variant of ``_block_kernel``: same block, same bf16
+    rounding points, but intermediates are staged strip-by-strip through
+    F-channel VMEM scratch instead of living as whole-image fp32 values.
+
+    Four static passes over H-strips (GN needs full-image moments before
+    any affine, so each GN is a stats-then-apply pair):
+      1. conv1 per strip → bf16 ``y1`` scratch + GN1 partial stats;
+      2. GN1-affine+relu on strip+1-row-halo reads of ``y1``, 3×3 as 9
+         shifted dots → bf16 ``y2`` scratch + GN2 partial stats;
+      3. GN2-affine+relu, conv3 per strip → GN3 partial stats (``y3``
+         strips are DISCARDED — cheaper to recompute one full-MXU 1×1 in
+         pass 4 than to hold an [H,W,C] scratch);
+      4. recompute conv3, GN3 affine, +identity, relu → output strip.
+
+    Versus the whole-image kernel this trades one extra 1×1-expand conv
+    per block for peak VMEM residency ~[H,W,2F+…] instead of
+    ~[H,W,(10..12)F] — the difference that made res2 (160×160×256 @640px)
+    thrash.  HBM traffic is identical: 1 block-input read + 1 output
+    write.  GN moments accumulate per-strip in fp32, so results match the
+    whole-image kernel to fp32-summation-order (not bitwise).
+    """
+    _, h, w, c = x_ref.shape
+    f = k1_ref.shape[-1]
+
+    # Pass 1: 1×1 reduce, stats for GN1.
+    s1a = jnp.zeros((1, f), jnp.float32)
+    s2a = jnp.zeros((1, f), jnp.float32)
+    for r0, r1 in strips:
+        rs = r1 - r0
+        xs = x_ref[0, r0:r1].reshape(rs * w, c)
+        y1 = jnp.dot(xs, k1_ref[0, 0], preferred_element_type=jnp.float32)
+        yb = y1.astype(jnp.bfloat16)
+        y1_scr[r0:r1] = yb.reshape(rs, w, f)
+        p1, p2 = _gn_partial_stats(yb)
+        s1a += p1
+        s2a += p2
+    scale1, shift1 = _gn_scale_shift(s1a, s2a, h * w, g1_ref[:], b1_ref[:],
+                                     resolve_groups(f), eps)
+
+    # Pass 2: GN1+relu on haloed reads, 3×3 SAME as 9 shifted dots.
+    s1a = jnp.zeros((1, f), jnp.float32)
+    s2a = jnp.zeros((1, f), jnp.float32)
+    for r0, r1 in strips:
+        rs = r1 - r0
+        lo, hi = max(r0 - 1, 0), min(r1 + 1, h)
+        blk = y1_scr[lo:hi].reshape((hi - lo) * w, f)
+        blkn = jnp.maximum(blk * scale1 + shift1, 0).reshape(hi - lo, w, f)
+        # SAME zero-padding happens in conv2's (post-GN) input domain, so
+        # out-of-image halo rows are zeros — exactly jnp.pad.
+        padded = jnp.pad(blkn, ((1 - (r0 - lo), 1 - (hi - r1)),
+                                (1, 1), (0, 0)))
+        acc = jnp.zeros((rs * w, f), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = padded[dy:dy + rs, dx:dx + w, :].reshape(rs * w, f)
+                acc = acc + jnp.dot(tap, k2_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        yb = acc.astype(jnp.bfloat16)
+        y2_scr[r0:r1] = yb.reshape(rs, w, f)
+        p1, p2 = _gn_partial_stats(yb)
+        s1a += p1
+        s2a += p2
+    scale2, shift2 = _gn_scale_shift(s1a, s2a, h * w, g2_ref[:], b2_ref[:],
+                                     resolve_groups(f), eps)
+
+    # Pass 3: stats for GN3 only (y3 strips discarded, see docstring).
+    s1a = jnp.zeros((1, c), jnp.float32)
+    s2a = jnp.zeros((1, c), jnp.float32)
+    for r0, r1 in strips:
+        rs = r1 - r0
+        y2n = jnp.maximum(
+            y2_scr[r0:r1].reshape(rs * w, f) * scale2 + shift2, 0)
+        y3 = jnp.dot(y2n, k3_ref[0, 0], preferred_element_type=jnp.float32)
+        p1, p2 = _gn_partial_stats(y3.astype(jnp.bfloat16))
+        s1a += p1
+        s2a += p2
+    scale3, shift3 = _gn_scale_shift(s1a, s2a, h * w, g3_ref[:], b3_ref[:],
+                                     resolve_groups(c), eps)
+
+    # Pass 4: recompute conv3, GN3 affine, +identity, relu.
+    for r0, r1 in strips:
+        rs = r1 - r0
+        y2n = jnp.maximum(
+            y2_scr[r0:r1].reshape(rs * w, f) * scale2 + shift2, 0)
+        y3 = jnp.dot(y2n, k3_ref[0, 0], preferred_element_type=jnp.float32)
+        yb = y3.astype(jnp.bfloat16) * scale3 + shift3
+        xs = x_ref[0, r0:r1].reshape(rs * w, c)
+        out_ref[0, r0:r1] = jnp.maximum(yb + xs, 0).reshape(rs, w, c)
+
+
 def fused_bottleneck(x: Array, k1: Array, g1: Array, b1: Array,
                      k2: Array, g2: Array, b2: Array,
                      k3: Array, g3: Array, b3: Array,
-                     eps: float = 1e-5, interpret: bool = False) -> Array:
-    """One identity bottleneck block, whole-image-in-VMEM, one image per
-    grid step.
+                     eps: float = 1e-5, interpret: bool = False,
+                     strip_rows: int = 0) -> Array:
+    """One identity bottleneck block, one image per grid step.
 
     x [B,H,W,C] bf16; k1 [1,1,C,F]; k2 [3,3,F,F]; k3 [1,1,F,C];
     g*/b* the GN affines.  Returns bf16 [B,H,W,C].
+
+    ``strip_rows=0`` runs the whole-image-in-VMEM kernel (fp32
+    intermediates live as full-image values — fine up to res3 scale).
+    ``strip_rows>0`` runs the strip-tiled kernel (``_strip_kernel``) whose
+    peak residency is bounded by the two F-channel scratch planes — the
+    variant that makes res2 canvases viable.
     """
     b, h, w, c = x.shape
     f = k1.shape[-1]
     assert k3.shape[-1] == c and k2.shape == (3, 3, f, f)
 
-    kernel = functools.partial(_block_kernel, eps=eps)
+    scratch_shapes = ()
+    if strip_rows and strip_rows < h:
+        strips = tuple((r0, min(r0 + strip_rows, h))
+                       for r0 in range(0, h, strip_rows))
+        kernel = functools.partial(_strip_kernel, eps=eps, strips=strips)
+        scratch_shapes = (pltpu.VMEM((h, w, f), jnp.bfloat16),
+                          pltpu.VMEM((h, w, f), jnp.bfloat16))
+    else:
+        kernel = functools.partial(_block_kernel, eps=eps)
     to_bf16 = lambda a: a.astype(jnp.bfloat16)
     row2d = lambda a: a.reshape(1, -1).astype(jnp.float32)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
@@ -141,6 +265,7 @@ def fused_bottleneck(x: Array, k1: Array, g1: Array, b1: Array,
                  + [full(a) for a in operands[1:]],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+        scratch_shapes=scratch_shapes,
         # Whole-image residency + fp32 stats temporaries exceed the 16 MB
         # default scoped-VMEM budget at res3 scale (measured: 25 MB needed
         # for [80,80,512]/f=128 at 640px).  v5e has 128 MB VMEM; raise the

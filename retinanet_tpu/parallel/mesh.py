@@ -80,3 +80,19 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def space_replicated_hint(mesh: Mesh):
+    """Sharding hint for tensors the space axis cannot usefully shard
+    (e.g. FPN P6/P7 feature maps — 1-4 pixels tall): batch on the data
+    axis, replicated over space.  ``with_sharding_constraint`` also
+    constrains the cotangent in the backward, which is the point — without
+    it the partitioner bridges P6/P7's dgrad/wgrad layouts through an
+    "involuntary full rematerialization" (MULTICHIP_r03 tail)."""
+    n_data = mesh.shape[mesh.axis_names[0]]
+    data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl_sh = NamedSharding(mesh, P())
+    # Fully replicated when the batch dim can't shard (model.init traces
+    # with a batch-1 dummy).
+    return lambda x: jax.lax.with_sharding_constraint(
+        x, data_sh if x.shape[0] % n_data == 0 else repl_sh)

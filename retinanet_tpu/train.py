@@ -378,16 +378,11 @@ class Trainer:
                 raise ValueError(
                     f"global batch {config.data.batch_size} not divisible "
                     f"by {self.num_processes} processes")
-            if config.data.buckets:
-                # Bucketed canvases pick a per-batch shape from the batch's
-                # own aspect ratios — processes would disagree on the canvas
-                # at the same step and make_array_from_process_local_data
-                # would assemble mismatched shards.  Square canvas only.
-                raise ValueError(
-                    "data.buckets is incompatible with multi-process "
-                    "training: per-process batches would pick different "
-                    "canvas shapes at the same step; use a square "
-                    "data.image_size canvas")
+            # Buckets under multi-process use the pipeline's deterministic
+            # canvas schedule: batch t's canvas is drawn from a shared
+            # (train.seed, epoch)-seeded RNG on every process, so
+            # make_array_from_process_local_data always assembles shards of
+            # one agreed shape (data/pipeline.py:_scheduled_batches).
             n_avail = config.parallel.num_devices or len(jax.devices())
             if config.data.batch_size % n_avail:
                 raise ValueError(
@@ -418,6 +413,12 @@ class Trainer:
             # explicit user intent).
             self._sync_steps_per_epoch = None
             self.mesh = make_mesh(config.parallel)
+            # Rebuild with the 2-D-mesh sharding hint (FPN.space_hint):
+            # pins P6/P7 replicated over the space axis so the backward
+            # has no partitioner-forced full rematerialization.
+            self.model = RetinaNet.from_config(
+                config.model, num_anchors=self.levels.num_anchors,
+                num_classes=loader.num_classes, mesh=self.mesh)
             pipeline_loader, local_data = loader, config.data
         else:
             self._sync_steps_per_epoch = None
@@ -437,7 +438,9 @@ class Trainer:
             pipeline_loader, local_data = loader, config.data
         self.pipeline = build_pipeline(
             pipeline_loader, local_data, max_boxes=config.assign.max_boxes,
-            training=True, seed=config.train.seed + jax.process_index())
+            training=True, seed=config.train.seed + jax.process_index(),
+            scheduled_canvases=self.num_processes > 1,
+            schedule_seed=config.train.seed)
         # Multi-process: every process participates in (Orbax) checkpoint
         # save/restore against the SHARED experiment directory, but only the
         # lead process writes metrics/images and prunes old checkpoints.
@@ -656,6 +659,23 @@ class Trainer:
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         state = create_train_state(self.model, cfg, rng)
+        if cfg.train.init_backbone and self.latest_checkpoint_step() is None:
+            # Fresh start only: a resumed checkpoint always wins over the
+            # imported init (its backbone already trained past it).
+            from retinanet_tpu.utils.pretrained import load_pretrained
+            new_params, report = load_pretrained(
+                state.params, cfg.train.init_backbone,
+                backbone=cfg.model.backbone)
+            state = state.replace(params=new_params)
+            if report is not None:
+                logger.info(
+                    "init backbone from %s: %d by-name + %d by-shape "
+                    "matches, 0 unmatched", cfg.train.init_backbone,
+                    len(report["matched_by_name"]),
+                    len(report["matched_by_shape"]))
+            else:
+                logger.info("init backbone from %s (exact npz restore)",
+                            cfg.train.init_backbone)
         state = self.restore_checkpoint(state)
         py_step = int(state.step)  # host-side mirror: avoids a device sync
         # (int(state.step) blocks on the whole step program) per iteration
@@ -679,6 +699,9 @@ class Trainer:
         step_rng = jax.device_put(jax.random.PRNGKey(cfg.train.seed + 1),
                                   repl)
         t_last = time.time()
+        steps_since_log = 0  # actual steps elapsed since t_last: the first
+        # logged step (step 1, which also pays compile) divides by 1, not
+        # log_every, so metrics.jsonl never starts with a fabricated rate
         # Optional jax.profiler capture of N hot steps (train.profile_steps /
         # --profile N).  Starts 2 steps in, past the jit_full/jit_light
         # compile steps, so the trace holds steady-state device work only.
@@ -707,6 +730,7 @@ class Trainer:
                 jitted = jit_full if will_log else jit_light
                 state, metrics = jitted(state, *device_batch, step_rng)
                 py_step = step
+                steps_since_log += 1
                 if profiling and step >= profile_from \
                         + cfg.train.profile_steps - 1:
                     jax.block_until_ready(metrics)
@@ -718,9 +742,10 @@ class Trainer:
                     metrics = jax.device_get(metrics)
                     now = time.time()
                     metrics["images_per_sec"] = (
-                        cfg.data.batch_size * cfg.train.log_every
+                        cfg.data.batch_size * steps_since_log
                         / max(now - t_last, 1e-9))
                     t_last = now
+                    steps_since_log = 0
                     self.writer.write(step, metrics)
                     logger.info(
                         "step %d loss %.4f (class %.4f regr %.4f reg %.4f)",

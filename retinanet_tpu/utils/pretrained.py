@@ -250,3 +250,56 @@ def import_flat_weights(params, weights: Dict[str, np.ndarray],
               "unmatched": unmatched,
               "unused_sources": [k for k in weights if k not in used]}
     return {**params, subtree: new_subtree}, report
+
+
+def load_pretrained(params, path: str, backbone: str = ""):
+    """``train --init-backbone PATH`` entry: initialize the backbone subtree
+    from a foreign or native checkpoint file, dispatching on content.
+
+    * ``.npz`` whose names exactly cover the backbone tree (a
+      :func:`save_backbone` artifact) → :func:`load_backbone`;
+    * ``.npz`` with foreign flat names → layout-convert then
+      :func:`import_flat_weights` (torchvision-resnet50 name mapping when
+      the names look like one and the model is the dense ResNet50; generic
+      torch OIHW conversion otherwise);
+    * ``.pt``/``.pth`` → ``torch.load`` state_dict, then as above.
+
+    Raises if any backbone parameter ends up unmatched — a silent partial
+    init is a training-quality landmine.  Returns ``(new_params, report)``
+    (report is ``None`` for the exact-name npz path, which is all-or-error
+    by construction).  Makes the reference's dead ``download_weights.sh``
+    capability real end-to-end (``/root/reference/download_weights.sh:1-5``).
+    """
+    if path.endswith((".pt", ".pth")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        weights = {k: np.asarray(v) for k, v in sd.items()}
+    else:
+        data = np.load(path)
+        weights = {k: data[k] for k in data.files}
+        try:  # exact save_backbone round-trip?
+            return load_backbone(params, path), None
+        except (KeyError, ValueError):
+            pass  # foreign names — fall through to conversion
+
+    looks_torchvision = "layer1.0.conv1.weight" in weights
+    if looks_torchvision and backbone == "resnet_50_dense":
+        try:
+            converted = convert_torchvision_resnet50(weights)
+        except KeyError as e:
+            raise ValueError(
+                f"--init-backbone archive looks like a torchvision resnet50 "
+                f"state_dict but is missing {e}; refusing a partial init")
+    elif any(k.endswith(".weight") for k in weights):
+        converted = convert_torch_layout(weights)
+    else:
+        converted = weights
+    new_params, report = import_flat_weights(params, converted)
+    if report["unmatched"]:
+        raise ValueError(
+            f"--init-backbone left {len(report['unmatched'])} backbone "
+            f"params uninitialized (first: {report['unmatched'][:3]}); "
+            f"refusing a partial init")
+    return new_params, report

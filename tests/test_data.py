@@ -316,3 +316,49 @@ def test_pipeline_rejects_out_of_range_scale_jitter():
     dl = Shapes(None, 4, (64, 64))
     with pytest.raises(ValueError, match="augment_scale_jitter"):
         Pipeline(dl, _cfg(augment_scale_jitter=1.5), max_boxes=8)
+
+
+def test_scheduled_canvases_deterministic_across_processes():
+    """Two pipelines over DIFFERENT dataset shards with DIFFERENT
+    per-process seeds but a shared schedule_seed must yield the same
+    canvas sequence (the multi-process agreement property), consume every
+    sample (no per-bucket remainder drops), and stay batch-homogeneous."""
+
+    class MixedLoader:
+        class_names = ["a"]
+        num_classes = 1
+
+        def __init__(self, offset):
+            self.offset = offset
+
+        def __len__(self):
+            return 12
+
+        def __iter__(self):
+            rng = np.random.RandomState(100 + self.offset)
+            for i in range(12):
+                h, w = (80, 40) if (i + self.offset) % 3 else (40, 80)
+                yield {
+                    "image": rng.randint(0, 255, (h, w, 3)).astype(np.uint8),
+                    "boxes": np.array([[5, 5, 20, 20]], np.float32),
+                    "class_ids": np.array([0], np.int32),
+                }
+
+    cfg = _cfg(batch_size=2, shuffle_buffer=4,
+               buckets=((64, 64), (64, 32), (32, 64)))
+    seqs = []
+    for proc in range(2):
+        pipe = Pipeline(MixedLoader(proc), cfg, max_boxes=4, training=True,
+                        seed=42 + proc, scheduled_canvases=True,
+                        schedule_seed=42)
+        batches = list(pipe.epoch(0))
+        assert len(batches) == 6  # 12 samples / batch 2 — nothing dropped
+        for b in batches:
+            assert b.images.shape[0] == 2
+        seqs.append([b.images.shape[1:3] for b in batches])
+    assert seqs[0] == seqs[1]
+    assert len(set(seqs[0])) > 1  # the schedule actually mixes canvases
+    # A different epoch draws a different (but still shared) sequence.
+    pipe = Pipeline(MixedLoader(0), cfg, max_boxes=4, training=True,
+                    seed=42, scheduled_canvases=True, schedule_seed=42)
+    assert [b.images.shape[1:3] for b in pipe.epoch(1)] != seqs[0]

@@ -36,12 +36,18 @@ from retinanet_tpu.config import (AssignConfig, Config, DataConfig,
 from retinanet_tpu.data.loaders.shapes import Shapes
 from retinanet_tpu.train import Trainer
 
+use_buckets = sys.argv[4] == "buckets"
+# Bucketed multi-process training rides the pipeline's deterministic canvas
+# schedule (data/pipeline.py:_scheduled_batches): batch t's canvas is drawn
+# from shared (train.seed, epoch) state, so both processes assemble the
+# same global shape at every step.
 cfg = Config(
     model=ModelConfig(backbone="mobilenet_v2", num_classes=3,
                       dropout_rate=0.0, compute_dtype="float32"),
     data=DataConfig(dataset=("shapes", "unused", "16", "64"), image_size=64,
                     batch_size=8, shuffle_buffer=1, num_workers=2,
-                    augment_flip=False),
+                    augment_flip=False,
+                    buckets=((64, 64), (64, 32)) if use_buckets else ()),
     assign=AssignConfig(max_boxes=8),
     train=TrainConfig(experiment=sys.argv[3], epochs=1, steps_per_epoch=2,
                       checkpoint_every=1000, log_every=1,
@@ -51,6 +57,7 @@ loader = Shapes(None, 16, (64, 64))
 trainer = Trainer(cfg, loader=loader)
 assert trainer.num_processes == 2
 assert trainer.pipeline.config.batch_size == 4  # local slice of global 8
+assert trainer.pipeline.scheduled_canvases == use_buckets
 assert trainer.is_lead == (pid == 0)
 state = trainer.fit()
 assert trainer.latest_checkpoint_step() == 2
@@ -66,7 +73,11 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_training(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["square", "buckets"])
+def test_two_process_distributed_training(tmp_path, mode):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -78,7 +89,8 @@ def test_two_process_distributed_training(tmp_path):
     exp = str(tmp_path / "exp")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, coordinator, str(pid), exp],
+            [sys.executable, "-c", _WORKER, coordinator, str(pid), exp,
+             mode],
             env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(2)

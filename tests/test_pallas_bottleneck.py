@@ -152,3 +152,51 @@ def test_resnet50_fused_matches_unfused():
         np.testing.assert_allclose(r, o, rtol=5e-2, atol=1e-1, err_msg=k)
         corr = np.corrcoef(r.ravel(), o.ravel())[0, 1]
         assert corr > 0.9999, (k, corr)
+
+
+def test_strip_kernel_matches_block():
+    """Strip-tiled kernel (strip_rows>0) vs the flax block, including a
+    ragged tail strip (h=20, strips of 8 → 8+8+4).  GN moments accumulate
+    per-strip, so fp32 summation ORDER differs from the whole-image
+    jnp.sum — equality is to bf16-neighbour tolerance, not bitwise."""
+    rng = np.random.RandomState(7)
+    b, h, w, f = 2, 20, 12, 16
+    c = 4 * f
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.bfloat16)
+    block = ResNetBottleneck(filters=f, project=False)
+    params = _randomized_params(block, x)
+    ref = np.asarray(block.apply({"params": params}, x, training=False),
+                     np.float32)
+
+    g = lambda *path: params[path[0]][path[1]][path[2]]
+    args = [g(f"ConvGN_{i}", "Conv_0", "kernel") for i in range(3)]
+    packed = []
+    for i in range(3):
+        packed += [g(f"ConvGN_{i}", "Conv_0", "kernel"),
+                   g(f"ConvGN_{i}", "GroupNorm_0", "gamma"),
+                   g(f"ConvGN_{i}", "GroupNorm_0", "beta")]
+    for strip_rows in (8, 20, 64):  # ragged tail / exact h / clamps to whole
+        out = np.asarray(
+            fused_bottleneck(x, *packed, interpret=True,
+                             strip_rows=strip_rows), np.float32)
+        np.testing.assert_allclose(ref, out, rtol=2e-2, atol=2e-2,
+                                   err_msg=f"strip_rows={strip_rows}")
+        # bf16 rounding points match → the overwhelming majority of
+        # elements are bit-identical despite the stats-order difference.
+        assert (ref == out).mean() > 0.98, strip_rows
+
+
+def test_resnet50_res2_strips_matches_unfused():
+    """fused_res2_strips routes res2 blocks through the strip kernel;
+    whole-backbone agreement at the standard fused-backbone tolerance."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.bfloat16)
+    plain = ResNet50()
+    fused = ResNet50(fused_blocks=True, fused_res2=True, fused_res2_strips=4)
+    params = plain.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    ref = plain.apply({"params": params}, x, training=False)
+    out = fused.apply({"params": params}, x, training=False)
+    for k in ref:
+        r = np.asarray(ref[k], np.float32)
+        o = np.asarray(out[k], np.float32)
+        np.testing.assert_allclose(r, o, rtol=5e-2, atol=1e-1, err_msg=k)

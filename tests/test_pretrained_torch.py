@@ -142,3 +142,41 @@ def test_tf_layout_depthwise_reshape():
     assert set(converted) == {"block/depthwise_weights", "block/weights"}
     assert converted["block/depthwise_weights"].shape == (3, 3, 1, 16)
     assert converted["block/weights"].shape == (1, 1, 16, 32)
+
+
+def test_load_pretrained_dispatch_and_refusal(tmp_path):
+    """``--init-backbone`` entry (utils.pretrained.load_pretrained): a
+    torchvision-shaped npz lands on the FULL RetinaNet tree's backbone
+    subtree with 0 unmatched; a truncated archive is refused outright."""
+    from retinanet_tpu.config import ModelConfig
+    from retinanet_tpu.models.retinanet import RetinaNet
+    from retinanet_tpu.utils.pretrained import load_pretrained
+
+    sd = synth_torchvision_resnet50()
+    path = str(tmp_path / "tv_resnet50.npz")
+    np.savez(path, **sd)
+
+    model = RetinaNet.from_config(
+        ModelConfig(backbone="resnet_50_dense", num_classes=3),
+        num_anchors=9, num_classes=3)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        training=False)["params"]
+    new_params, report = load_pretrained(params, path,
+                                         backbone="resnet_50_dense")
+    assert report["unmatched"] == [] and report["matched_by_shape"] == []
+    got = np.asarray(
+        new_params["backbone_net"]["ResNetBottleneck_0"]["ConvGN_0"]
+        ["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(
+        got, sd["layer1.0.downsample.0.weight"].transpose(2, 3, 1, 0))
+    # Head params untouched.
+    assert new_params["classification_subnet"] \
+        is params["classification_subnet"]
+
+    # Partial archives must raise, not silently half-initialize.
+    partial = {k: v for k, v in sd.items() if "layer3" not in k}
+    ppath = str(tmp_path / "partial.npz")
+    np.savez(ppath, **partial)
+    import pytest
+    with pytest.raises(ValueError, match="partial init"):
+        load_pretrained(params, ppath, backbone="resnet_50_dense")

@@ -387,8 +387,12 @@ def test_multiprocess_guards(tmp_path, monkeypatch):
     bucket_cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data,
                                       buckets=((64, 64), (64, 32))))
-    with pytest.raises(ValueError, match="buckets"):
-        Trainer(bucket_cfg, loader=Shapes(None, 10, (64, 64)))
+    # Round 4: buckets x multi-process is now a capability, not a guard —
+    # the pipeline runs its deterministic canvas schedule so every process
+    # assembles the same global shape at each step.
+    bt = Trainer(bucket_cfg, loader=Shapes(None, 10, (64, 64)))
+    assert bt.pipeline.scheduled_canvases
+    assert bt.pipeline.schedule_seed == bucket_cfg.train.seed
 
     # 19 samples / 2 processes -> shards of 10 and 9; local batch 4 ->
     # guaranteed minimum (19 // 2) // 4 = 2 steps per epoch on EVERY process.
