@@ -67,7 +67,12 @@ def main(argv=None):
         model=dataclasses.replace(config.model,
                                   backbone=args.backbone,
                                   quantize=args.quantize,
-                                  fused_blocks=fused),
+                                  fused_blocks=fused,
+                                  # Strip-tiled res2 fusion: 1.026x on top
+                                  # of fused(res3+) at strip_rows=20
+                                  # (NOTES round 4); rides the same gate
+                                  # as fused_blocks.
+                                  fused_res2=fused),
         nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
     # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.

@@ -46,8 +46,8 @@ def _gn_pool_kernel(y_ref, scale_ref, shift_ref, out_ref, *, strips):
     stride-2 max."""
     _, h, w, c = y_ref.shape
     _, h2, w2, _ = out_ref.shape
-    scale = scale_ref[:].astype(jnp.bfloat16)   # [1, C]
-    shift = shift_ref[:].astype(jnp.bfloat16)
+    scale = scale_ref[0].astype(jnp.bfloat16)   # block [1, 1, C] -> [1, C]
+    shift = shift_ref[0].astype(jnp.bfloat16)
     for r0, r1 in strips:
         rs = r1 - r0
         lo, hi = 2 * r0, min(2 * r1 + 1, h)
@@ -106,10 +106,19 @@ def gn_relu_maxpool(y: Array, scale: Array, shift: Array,
         kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((1, c), lambda i: (i, 0)),
-                  pl.BlockSpec((1, c), lambda i: (i, 0))],
+                  # [B, 1, C] with a (1, 1, C) block: every block dim is
+                  # either 1-for-1 with the grid or equal to the full
+                  # array dim (Mosaic's sublane/lane divisibility rule).
+                  pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, h2, w2, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h2, w2, c), jnp.bfloat16),
+        # Whole-image residency ([320,320,64] bf16 = 13 MB in, 3.2 MB out,
+        # double-buffered) exceeds the 16 MB default scoped-VMEM budget;
+        # v5e has 128 MB VMEM (same raise as ops/pallas/bottleneck.py).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(y.astype(jnp.bfloat16), scale.astype(jnp.float32),
-      shift.astype(jnp.float32))
+    )(y.astype(jnp.bfloat16),
+      scale.reshape(b, 1, c).astype(jnp.float32),
+      shift.reshape(b, 1, c).astype(jnp.float32))
