@@ -143,6 +143,15 @@ class DataConfig:
     batch_size: int = 8  # per-step global batch (reference: fixed 2 = img + flip)
     shuffle_buffer: int = 4096  # train.py:197
     augment_flip: bool = True
+    # Reference-parity batch construction: the reference's "batch" is
+    # always the stack of a sample and its horizontal flip
+    # (``dataset.py:182-204`` — not random augmentation).  With this on,
+    # every training sample contributes BOTH orientations as adjacent
+    # batch entries (photometric/scale draws shared within the pair, so
+    # the pair differs only by the flip); random flip is skipped.
+    # batch_size must be even.  Default off: random flip sees 2× more
+    # distinct images per batch at the same cost.
+    pair_flip_batching: bool = False
     # Photometric augmentation — the reference stubs this out
     # (``dataset.py:206-212``); here it's a real capability: random
     # brightness / contrast / saturation jitter, host-side, before resize.
@@ -350,6 +359,13 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         help="zoom-out scale jitter: resize factor multiplied by U[1-J, 1] "
              "per training image (0 = off)")
     parser.add_argument(
+        "--pair-flip-batching", action="store_true",
+        help="reference-parity batches: each image contributes itself AND "
+             "its horizontal flip as adjacent batch entries (the "
+             "reference's deterministic batch construction, "
+             "dataset.py:182-204) instead of random flip; batch size "
+             "must be even")
+    parser.add_argument(
         "--buckets", type=str, nargs="+", default=None, metavar="HxW",
         help="rectangular canvas buckets, e.g. --buckets 640x640 640x448 "
              "448x640; each image goes to the least-padding bucket and "
@@ -412,6 +428,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("train.schedule", args.schedule),
         ("train.log_every", args.log_every),
         ("train.profile_steps", args.profile),
+        ("data.pair_flip_batching", bool(args.pair_flip_batching)),
         ("data.augment_photometric", bool(args.augment_photometric)),
         ("data.augment_scale_jitter", args.augment_scale_jitter),
         ("parallel.spatial", args.spatial),

@@ -235,6 +235,11 @@ class Pipeline:
         self.max_boxes = max_boxes
         self.training = training
         self.seed = seed
+        self.pair_flip = bool(config.pair_flip_batching and training)
+        if self.pair_flip and config.batch_size % 2:
+            raise ValueError(
+                "pair_flip_batching needs an even batch_size (each image "
+                f"contributes itself + its flip), got {config.batch_size}")
         self.scheduled_canvases = bool(scheduled_canvases and config.buckets)
         # The schedule must be drawn from PROCESS-SHARED state: train.py
         # seeds per-process pipelines with seed+process_index (shuffle may
@@ -246,7 +251,8 @@ class Pipeline:
         self._std = np.asarray(config.std, np.float32)
 
     def __len__(self) -> int:
-        return max(1, len(self.loader) // self.config.batch_size)
+        n = len(self.loader) * (2 if self.pair_flip else 1)
+        return max(1, n // self.config.batch_size)
 
     def _sample_stream(self, rng: np.random.RandomState) -> Iterator[tuple]:
         """(index, sample) stream with reservoir shuffle when training."""
@@ -275,8 +281,6 @@ class Pipeline:
             # so the rng is not shared across pool workers and runs are
             # reproducible regardless of worker scheduling.
             for index, sample in self._sample_stream(rng):
-                flip = bool(cfg.augment_flip and self.training
-                            and rng.rand() < 0.5)
                 photometric = None
                 if cfg.augment_photometric and self.training:
                     s = cfg.photometric_strength
@@ -285,6 +289,16 @@ class Pipeline:
                 if cfg.augment_scale_jitter > 0 and self.training:
                     jitter = float(
                         1.0 - rng.uniform(0.0, cfg.augment_scale_jitter))
+                if self.pair_flip:
+                    # Reference-parity batch construction
+                    # (``dataset.py:182-204``): both orientations of every
+                    # image as adjacent entries; the photometric/scale
+                    # draws are shared so the pair differs only by flip.
+                    yield index, sample, False, photometric, jitter
+                    yield index, sample, True, photometric, jitter
+                    continue
+                flip = bool(cfg.augment_flip and self.training
+                            and rng.rand() < 0.5)
                 yield index, sample, flip, photometric, jitter
 
         def prepare(item, canvas_override=None):

@@ -124,6 +124,43 @@ def test_pipeline_batches():
         assert b.box_mask.any(axis=1).all()  # every sample has a box
 
 
+def test_pipeline_pair_flip_batching():
+    """Reference-parity batch construction (``dataset.py:182-204``): every
+    image appears with its horizontal flip as adjacent batch entries."""
+    import pytest
+
+    dl = Shapes(None, 6, (64, 64), seed=5)
+    cfg = _cfg(batch_size=4, shuffle_buffer=1, pair_flip_batching=True,
+               transfer_uint8=False)
+    pipe = Pipeline(dl, cfg, max_boxes=8, seed=3)
+    assert len(pipe) == 3  # 6 images x 2 orientations / batch 4
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 3
+    for b in batches:
+        for i in range(0, 4, 2):
+            assert b.image_ids[i] == b.image_ids[i + 1]
+            # Second entry is the mirror of the first (exact: mirroring
+            # commutes with the resize because the source is mirrored
+            # before resampling and W maps onto the canvas exactly here).
+            np.testing.assert_array_equal(b.images[i + 1],
+                                          b.images[i][:, ::-1])
+            m = b.box_mask[i]
+            np.testing.assert_array_equal(m, b.box_mask[i + 1])
+            t, l, bb, r = b.boxes[i][m].T
+            t2, l2, b2, r2 = b.boxes[i + 1][m].T
+            np.testing.assert_allclose(t2, t, atol=1e-6)
+            np.testing.assert_allclose(b2, bb, atol=1e-6)
+            np.testing.assert_allclose(l2, 1.0 - r, atol=1e-6)
+            np.testing.assert_allclose(r2, 1.0 - l, atol=1e-6)
+
+    with pytest.raises(ValueError, match="even batch_size"):
+        Pipeline(dl, _cfg(batch_size=3, pair_flip_batching=True),
+                 max_boxes=8)
+    # Eval pipelines ignore the flag (training-only construction).
+    ev = Pipeline(dl, cfg, max_boxes=8, training=False)
+    assert len(ev) == 1  # 6 images / batch 4, no doubling
+
+
 def test_pipeline_prefetched_matches_epoch():
     dl = Shapes(None, 6, (64, 64))
     pipe = Pipeline(dl, _cfg(shuffle_buffer=1), max_boxes=8, training=False)
