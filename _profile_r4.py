@@ -263,6 +263,89 @@ def bwdprof(batch=16, size=640):
         prev = t
 
 
+def fusedstages(batch=128, size=640):
+    """Refreshed cumulative stage table on the ROUND-4 serving config
+    (fused whole-bottleneck res3+ AND strip-tiled fused res2): where does
+    the remaining time sit after the fusions?  Same methodology/printout
+    as `_profile_r3.py stages` (monkeypatches its flagship builder)."""
+    import _profile_r3 as r3
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    orig = r3._flagship
+
+    def fused_flagship(batch, size, **kw):
+        config, levels, model, params, images = orig(batch, size, **kw)
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True))
+        model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
+        return cfg, levels, model_f, params, images
+
+    r3._flagship = fused_flagship
+    try:
+        r3.stages(batch, size)
+    finally:
+        r3._flagship = orig
+
+
+def batchsweep(size=640):
+    """Serving batch sweep on the round-4 fused config (the b128 sweet spot
+    was chosen before the res2/res3+ fusions changed the VMEM picture)."""
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    for b in (96, 128, 160, 192, 256):
+        config, levels, model, params, images = _flagship(
+            b, size, use_approx_top_k=True)
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True))
+        model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
+        fn = make_inference_fn(model_f, levels, cfg)
+        try:
+            t = timeit(fn, params, images)
+            print(f"b{b:<4d} {b/t:7.1f} img/s  {t*1e3:7.1f} ms", flush=True)
+        except Exception as e:
+            print(f"b{b}: {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+def gnbwd(size=640):
+    """VERDICT r3 #4 'at minimum': the Pallas fwd+bwd GroupNorm custom_vjp
+    (ops/pallas/groupnorm.py) in the REAL train step.  Round 2 rejected the
+    kernel on the serving forward (layout transposes); the training
+    question — does its bwd traffic saving win where the backward is
+    82-103% HBM-bound? — was never measured."""
+    import functools
+
+    from retinanet_tpu import train as T
+    from retinanet_tpu.models import densenet, layers, mobilenet_v2, resnet
+
+    config, *_ = _flagship(1, size)
+
+    def run(tag):
+        for b in (16, 32):
+            try:
+                r = T.benchmark_train(config, batch_size=b, steps=6,
+                                      warmup=2)
+                print(f"{tag} b{b:<3d} {r['images_per_sec']:7.1f} img/s  "
+                      f"{r['step_ms']:7.1f} ms/step", flush=True)
+            except Exception as e:
+                print(f"{tag} b{b}: {type(e).__name__}: {str(e)[:160]}",
+                      flush=True)
+
+    run("gn=xla   ")
+    mods = (layers, resnet, densenet, mobilenet_v2)
+    orig = layers.GroupNorm
+    patched = functools.partial(orig, use_pallas=True)
+    for m in mods:
+        m.GroupNorm = patched
+    try:
+        run("gn=pallas")
+    finally:
+        for m in mods:
+            m.GroupNorm = orig
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     args = [int(a) for a in sys.argv[2:]]

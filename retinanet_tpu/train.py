@@ -352,10 +352,17 @@ class Trainer:
             # geometry up front — every canvas height must split evenly
             # into bands, and the batch must divide the data axis.
             sp = config.parallel.spatial
-            if self.num_processes > 1:
+            if self.num_processes > 1 and jax.local_device_count() % sp:
+                # Multi-host spatial works when the space axis tiles within
+                # each process's local devices: make_mesh lays devices out
+                # (data, space) row-major in process order, so every space
+                # group is then process-local — each process contributes
+                # full-height image shards and the halo exchanges ride ICI,
+                # never DCN.
                 raise ValueError(
-                    "parallel.spatial > 1 is single-process only (the "
-                    "multi-host input path assembles batch-sharded arrays)")
+                    f"spatial={sp} must divide the local device count "
+                    f"({jax.local_device_count()}) under multi-process "
+                    "training")
             n_avail = config.parallel.num_devices or len(jax.devices())
             if n_avail % sp:
                 raise ValueError(
@@ -384,11 +391,19 @@ class Trainer:
             # make_array_from_process_local_data always assembles shards of
             # one agreed shape (data/pipeline.py:_scheduled_batches).
             n_avail = config.parallel.num_devices or len(jax.devices())
-            if config.data.batch_size % n_avail:
+            n_data = n_avail // config.parallel.spatial
+            if config.data.batch_size % n_data:
                 raise ValueError(
                     f"global batch {config.data.batch_size} not divisible "
-                    f"by {n_avail} devices")
+                    f"by the data axis ({n_data} devices)")
             self.mesh = make_mesh(config.parallel)
+            if config.parallel.spatial > 1:
+                # 2-D (data, space) mesh across processes: rebuild with the
+                # FPN space hint (same as the single-process spatial branch)
+                # so the backward has no partitioner-forced replication.
+                self.model = RetinaNet.from_config(
+                    config.model, num_anchors=self.levels.num_anchors,
+                    num_classes=loader.num_classes, mesh=self.mesh)
             from retinanet_tpu.parallel.distributed import shard_loader
             pipeline_loader = shard_loader(loader, jax.process_index(),
                                            self.num_processes)

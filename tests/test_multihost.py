@@ -32,11 +32,16 @@ assert len(jax.devices()) == 8, len(jax.devices())
 
 sys.path.insert(0, os.getcwd())
 from retinanet_tpu.config import (AssignConfig, Config, DataConfig,
-                                  ModelConfig, TrainConfig)
+                                  ModelConfig, ParallelConfig, TrainConfig)
 from retinanet_tpu.data.loaders.shapes import Shapes
 from retinanet_tpu.train import Trainer
 
 use_buckets = sys.argv[4] == "buckets"
+# Spatial x multi-process: 2-D (data=4, space=2) mesh across the two
+# processes; the space axis tiles within each process's 4 local devices,
+# so halo exchanges stay process-local and every process still feeds
+# full-height image shards of its batch slice.
+spatial = 2 if sys.argv[4] == "spatial" else 1
 # Bucketed multi-process training rides the pipeline's deterministic canvas
 # schedule (data/pipeline.py:_scheduled_batches): batch t's canvas is drawn
 # from shared (train.seed, epoch) state, so both processes assemble the
@@ -52,12 +57,15 @@ cfg = Config(
     train=TrainConfig(experiment=sys.argv[3], epochs=1, steps_per_epoch=2,
                       checkpoint_every=1000, log_every=1,
                       learning_rate=1e-3),
+    parallel=ParallelConfig(spatial=spatial),
 )
 loader = Shapes(None, 16, (64, 64))
 trainer = Trainer(cfg, loader=loader)
 assert trainer.num_processes == 2
 assert trainer.pipeline.config.batch_size == 4  # local slice of global 8
 assert trainer.pipeline.scheduled_canvases == use_buckets
+assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) == (
+    {"data": 4, "space": 2} if spatial == 2 else {"data": 8})
 assert trainer.is_lead == (pid == 0)
 state = trainer.fit()
 assert trainer.latest_checkpoint_step() == 2
@@ -76,7 +84,7 @@ def _free_port() -> int:
 import pytest
 
 
-@pytest.mark.parametrize("mode", ["square", "buckets"])
+@pytest.mark.parametrize("mode", ["square", "buckets", "spatial"])
 def test_two_process_distributed_training(tmp_path, mode):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
