@@ -346,6 +346,32 @@ def gnbwd(size=640):
             m.GroupNorm = orig
 
 
+def fusedtrain(size=640):
+    """VERDICT r3 #4, the real lever: the hand-fused Pallas backward
+    (ops/pallas/bottleneck_bwd.py) in the full train step.  bwdprof proved
+    the XLA backward HBM-saturated (82-103%) and rematsweep proved XLA
+    remat ADDS traffic; the fused bwd recomputes in VMEM — ~3 image passes
+    per identity block (x, dout, dx) vs XLA's ~12."""
+    import functools
+
+    from retinanet_tpu import train as T
+
+    config, *_ = _flagship(1, size)
+
+    for tag, fused in (("xla  ", False), ("pallas", True)):
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(config.model,
+                                              fused_train=fused))
+        for b in (16, 32):
+            try:
+                r = T.benchmark_train(cfg, batch_size=b, steps=6, warmup=2)
+                print(f"bwd={tag} b{b:<3d} {r['images_per_sec']:7.1f} img/s"
+                      f"  {r['step_ms']:7.1f} ms/step", flush=True)
+            except Exception as e:
+                print(f"bwd={tag} b{b}: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     args = [int(a) for a in sys.argv[2:]]

@@ -14,4 +14,8 @@ timeout 2400 python _profile_r4.py batchsweep 640
 # real train step (round-2 rejection predates the round-3 Mosaic fixes).
 timeout 2400 python _profile_r4.py gnbwd 640
 
+# VERDICT r3 #4, the real lever: hand-fused whole-block Pallas BACKWARD
+# (ops/pallas/bottleneck_bwd.py) in the full train step.
+timeout 2400 python _profile_r4.py fusedtrain 640
+
 echo "ALL_R4_PERF_DONE"

@@ -125,6 +125,14 @@ class ModelConfig:
     # _strip_kernel).  Other stages always use the whole-image kernel
     # (they fit, and it skips the conv3 recompute).
     fused_res2_strips: int = 20
+    # Hand-fused Pallas BACKWARD (plus fused forward) for identity blocks
+    # during training (ops/pallas/bottleneck_bwd.py).  The XLA-autodiff
+    # backbone backward is HBM-saturated (NOTES round-4 bwdprof:
+    # 82-103% of roofline at 9-27% MFU) and remat ADDS traffic (-8%
+    # measured); recomputing the forward inside VMEM is the only
+    # formulation that cuts the byte count — ~3 image passes per block
+    # (x, dout, dx) instead of XLA's ~12.
+    fused_train: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -401,6 +409,12 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
              "npz or a torch/torchvision state_dict) when starting fresh; "
              "ignored on checkpoint resume")
     parser.add_argument(
+        "--fused-train", action="store_true",
+        help="hand-fused Pallas backward (and fused forward) for the dense "
+             "ResNet's identity bottleneck blocks during training — cuts "
+             "the HBM-saturated backbone backward to ~3 image passes per "
+             "block (dense ResNet backbones only)")
+    parser.add_argument(
         "--profile", type=int, default=0, metavar="N",
         help="capture a jax.profiler trace of N hot train steps into "
              "<experiment>/profile (TensorBoard profile plugin)")
@@ -434,6 +448,7 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         ("parallel.spatial", args.spatial),
         ("train.grad_accum", args.grad_accum),
         ("train.init_backbone", args.init_backbone),
+        ("model.fused_train", bool(args.fused_train)),
     ]:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.workers is not None:

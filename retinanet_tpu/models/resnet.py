@@ -97,6 +97,12 @@ class ResNetBottleneck(nn.Module):
     # H-strip rows for the fused kernel (0 = whole-image; see
     # ops/pallas/bottleneck.py:_strip_kernel).
     fused_strip_rows: int = 0
+    # Training path: fused Pallas forward AND hand-fused backward
+    # (ops/pallas/bottleneck_bwd.py custom_vjp) — the XLA-autodiff backward
+    # is HBM-saturated (NOTES bwdprof) and this is the only formulation
+    # that cuts its traffic.  Orthogonal to ``fused`` (the serving gate).
+    fused_train: bool = False
+    fused_bwd_strip_rows: int = 20
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -120,18 +126,28 @@ class ResNetBottleneck(nn.Module):
         # blocks keep the XLA path (the semantic reference); parameters are
         # created through the same modules either way, so checkpoints are
         # path-independent.
-        if (self.fused and not training and not self.quantize
-                and not self.project and self.dtype == jnp.bfloat16
-                and x.shape[-1] == self.filters * 4):
-            from retinanet_tpu.ops.pallas.bottleneck import fused_bottleneck
+        fusable = (not self.quantize and not self.project
+                   and self.dtype == jnp.bfloat16
+                   and x.shape[-1] == self.filters * 4)
+        if fusable and (self.fused and not training
+                        or self.fused_train and training):
             # Kernel shapes derive from each conv's *input* channel count.
             inner = jnp.zeros((1, 1, 1, self.filters), x.dtype)
             k1, g1, b1 = conv1(x, params_only=True)
             k2, g2, b2 = conv2(inner, params_only=True)
             k3, g3, b3 = conv3(inner, params_only=True)
+            interpret = jax.default_backend() != "tpu"
+            if training:
+                from retinanet_tpu.ops.pallas.bottleneck_bwd import \
+                    fused_bottleneck_train
+                return fused_bottleneck_train(
+                    x, k1, g1, b1, k2, g2, b2, k3, g3, b3,
+                    1e-5, interpret, self.fused_strip_rows,
+                    self.fused_bwd_strip_rows)
+            from retinanet_tpu.ops.pallas.bottleneck import fused_bottleneck
             return fused_bottleneck(
                 x, k1, g1, b1, k2, g2, b2, k3, g3, b3,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
                 strip_rows=self.fused_strip_rows)
         x = conv1(x, training=training)
         x = conv2(x, training=training)
@@ -150,6 +166,9 @@ class ResNet50(nn.Module):
     fused_blocks: bool = False
     fused_res2: bool = False
     fused_res2_strips: int = 20
+    # Hand-fused Pallas backward for every identity block during training
+    # (ops/pallas/bottleneck_bwd.py).
+    fused_train: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -179,6 +198,7 @@ class ResNet50(nn.Module):
                                          fused_strip_rows=(
                                              self.fused_res2_strips
                                              if filters == 64 else 0),
+                                         fused_train=self.fused_train,
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x

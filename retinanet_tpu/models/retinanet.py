@@ -35,7 +35,8 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
                    remat: bool = False, quantize: bool = False,
                    fused_blocks: bool = False,
                    fused_res2: bool = False,
-                   fused_res2_strips: int = 20) -> nn.Module:
+                   fused_res2_strips: int = 20,
+                   fused_train: bool = False) -> nn.Module:
     """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
     ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
     if name == "resnet_50":
@@ -45,7 +46,8 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
         return ResNet50(activation=activation, remat=remat,
                         quantize=quantize, fused_blocks=fused_blocks,
                         fused_res2=fused_res2,
-                        fused_res2_strips=fused_res2_strips, dtype=dtype)
+                        fused_res2_strips=fused_res2_strips,
+                        fused_train=fused_train, dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
                              remat=remat, quantize=quantize, dtype=dtype)
@@ -80,6 +82,9 @@ class RetinaNet(nn.Module):
     fused_blocks: bool = False
     fused_res2: bool = False
     fused_res2_strips: int = 20
+    # Hand-fused Pallas backward for dense-ResNet identity blocks during
+    # training (ops/pallas/bottleneck_bwd.py).
+    fused_train: bool = False
     # Sharding hint for the deepest FPN levels under a 2-D (data, space)
     # mesh (see FPN.space_hint).  Built by from_config(mesh=...) / the
     # Trainer's spatial path; None on 1-D meshes.
@@ -108,6 +113,7 @@ class RetinaNet(nn.Module):
             fused_blocks=cfg.fused_blocks,
             fused_res2=cfg.fused_res2,
             fused_res2_strips=cfg.fused_res2_strips,
+            fused_train=cfg.fused_train,
             dtype=jnp.dtype(cfg.compute_dtype))
 
     def setup(self):
@@ -115,7 +121,8 @@ class RetinaNet(nn.Module):
             self.backbone, self.activation, self.dropout_rate, self.dtype,
             remat=self.remat, quantize=self.quantize,
             fused_blocks=self.fused_blocks, fused_res2=self.fused_res2,
-            fused_res2_strips=self.fused_res2_strips)
+            fused_res2_strips=self.fused_res2_strips,
+            fused_train=self.fused_train)
         self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
                        quantize=self.quantize, space_hint=self.space_hint,
                        dtype=self.dtype)

@@ -56,28 +56,40 @@ def _gn_partial_stats(yb: Array):
     return s1, s2
 
 
+def _group_sum(s: Array, groups: int) -> Array:
+    """Per-channel [1, C] → per-channel [1, C] where each channel holds its
+    GROUP's sum.  Group-sum + broadcast-back as two tiny matmuls against a
+    0/1 channel→group membership matrix.  Mosaic cannot lane-reshape
+    [1, C] → [G, C/G] ("infer-vector-layout: unsupported shape cast" on
+    real TPU; interpret mode accepted it), but 2-D iota and dots lower
+    fine, and HIGHEST keeps the f32 accumulation exact."""
+    c = s.shape[-1]
+    cg = c // groups
+    ch_of = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    member = (ch_of == grp).astype(jnp.float32)          # [C, G]
+    return jnp.dot(
+        jnp.dot(s, member, precision=jax.lax.Precision.HIGHEST),
+        member.T, precision=jax.lax.Precision.HIGHEST)   # [1, C], per-group
+
+
+def _gn_moments(s1: Array, s2: Array, m: int, groups: int, eps: float):
+    """Per-channel fp32 (mean, inv-std) [1, C] from per-channel
+    (sum, sum-of-squares) over ``m`` rows."""
+    c = s1.shape[-1]
+    cnt = m * (c // groups)
+    mean = _group_sum(s1, groups) / cnt                  # [1, C]
+    var = jnp.maximum(_group_sum(s2, groups) / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                       # [1, C]
+    return mean, inv
+
+
 def _gn_scale_shift(s1: Array, s2: Array, m: int, gamma: Array, beta: Array,
                     groups: int, eps: float):
     """Finalize GN moments from per-channel sums over ``m`` rows into the
     per-channel bf16 (scale, shift) of the fused affine
     ``out = yb * scale + shift``."""
-    c = s1.shape[-1]
-    cg = c // groups
-    # Group-sum + broadcast-back as two tiny matmuls against a 0/1
-    # channel→group membership matrix.  Mosaic cannot lane-reshape
-    # [1, C] → [G, C/G] ("infer-vector-layout: unsupported shape cast"
-    # on real TPU; interpret mode accepted it), but 2-D iota and dots
-    # lower fine, and HIGHEST keeps the f32 accumulation exact.
-    ch_of = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
-    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
-    member = (ch_of == grp).astype(jnp.float32)          # [C, G]
-    gsum = lambda s: jnp.dot(
-        jnp.dot(s, member, precision=jax.lax.Precision.HIGHEST),
-        member.T, precision=jax.lax.Precision.HIGHEST)   # [1, C], per-group
-    cnt = m * cg
-    mean = gsum(s1) / cnt                                # [1, C]
-    var = jnp.maximum(gsum(s2) / cnt - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)                       # [1, C]
+    mean, inv = _gn_moments(s1, s2, m, groups, eps)
     gamma32 = gamma.astype(jnp.float32)                  # [1, C]
     beta32 = beta.astype(jnp.float32)
     scale = inv * gamma32
