@@ -290,23 +290,32 @@ def fusedstages(batch=128, size=640):
 
 def batchsweep(size=640):
     """Serving batch sweep on the round-4 fused config (the b128 sweet spot
-    was chosen before the res2/res3+ fusions changed the VMEM picture)."""
+    was chosen before the res2/res3+ fusions changed the VMEM picture).
+    Also probes the one untested decode lever at b128: approx GLOBAL
+    pre-NMS top-k on top of the per-level approx_max_k."""
     from retinanet_tpu.infer import make_inference_fn
     from retinanet_tpu.models.retinanet import RetinaNet
 
-    for b in (96, 128, 160, 192, 256):
+    for b, glob in ((96, False), (128, False), (128, True), (160, False),
+                    (192, False), (256, False)):
         config, levels, model, params, images = _flagship(
             b, size, use_approx_top_k=True)
         cfg = dataclasses.replace(
-            config, model=dataclasses.replace(
-                config.model, fused_blocks=True, fused_res2=True))
+            config,
+            model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True),
+            nms=dataclasses.replace(config.nms,
+                                    use_approx_global_top_k=glob))
         model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
         fn = make_inference_fn(model_f, levels, cfg)
+        tag = " +global-approx" if glob else ""
         try:
             t = timeit(fn, params, images)
-            print(f"b{b:<4d} {b/t:7.1f} img/s  {t*1e3:7.1f} ms", flush=True)
+            print(f"b{b:<4d}{tag:15s} {b/t:7.1f} img/s  {t*1e3:7.1f} ms",
+                  flush=True)
         except Exception as e:
-            print(f"b{b}: {type(e).__name__}: {str(e)[:160]}", flush=True)
+            print(f"b{b}{tag}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
 
 
 def gnbwd(size=640):
