@@ -172,6 +172,33 @@ def test_data_parallel_inference_matches_single_device():
     assert total > 0, "test vacuous: no valid detections"
 
 
+def test_data_parallel_fused_blocks_compose():
+    """Fused whole-bottleneck Pallas serving kernels under a data-parallel
+    mesh: the sharded program must run and emit batch-sharded outputs
+    (smoke — on CPU the kernel runs through the Pallas interpreter, so
+    this checks GSPMD composition, not TPU partitioning of the Mosaic
+    custom call; that path is single-chip-only in this environment)."""
+    from retinanet_tpu.infer import make_inference_fn
+
+    cfg = Config(
+        model=ModelConfig(backbone="resnet_50_dense", num_classes=3,
+                          dropout_rate=0.0, fused_blocks=True,
+                          fused_res2=True, fused_res2_strips=4),
+        data=DataConfig(image_size=32, batch_size=8),
+    )
+    levels = build_levels(cfg.anchors)
+    model = RetinaNet.from_config(cfg.model, num_anchors=levels.num_anchors)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3), jnp.bfloat16),
+                        training=False)["params"]
+    images = np.random.RandomState(1).randn(8, 32, 32, 3).astype(np.float32)
+    mesh = make_mesh()
+    out = make_inference_fn(model, levels, cfg, mesh=mesh)(
+        params, jnp.asarray(images))
+    assert out.boxes.sharding.spec == batch_sharding(mesh).spec
+    assert out.boxes.shape[0] == 8
+
+
 def test_spatial_mesh_helpers():
     from retinanet_tpu.config import ParallelConfig
     from retinanet_tpu.parallel.mesh import image_sharding
