@@ -381,6 +381,77 @@ def fusedtrain(size=640):
                       flush=True)
 
 
+def accumcheck(batch=32, size=640):
+    """Attribution probe for the r4 focal-eff128 explosion: is grad-accum
+    faithful at the REAL scale (flagship @640, focal loss), or is the
+    divergence a genuine large-effective-batch optimization fact?
+
+    Runs ONE optimizer step from the same initial state with accum=1 vs
+    accum=4 on the same b32 batch and reports loss / grad-norm / update
+    deltas.  Exact equality is NOT expected (focal normalizes by each
+    micro-batch's own fg count), but accum must not scale gradients."""
+    from retinanet_tpu import train as T
+    from retinanet_tpu.models.retinanet import RetinaNet
+    from retinanet_tpu.ops.anchors import build_levels
+
+    config, *_ = _flagship(1, size)
+    config = dataclasses.replace(
+        config, loss=dataclasses.replace(config.loss,
+                                         class_losses=("focal",)))
+    levels = build_levels(config.anchors)
+    model = RetinaNet.from_config(config.model, levels.num_anchors, 80)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, size, size, 3), jnp.float32)
+    max_boxes = config.assign.max_boxes
+    boxes = np.zeros((batch, max_boxes, 4), np.float32)
+    boxes[:, 0] = [0.2, 0.2, 0.7, 0.7]
+    boxes[:, 1] = [0.5, 0.4, 0.9, 0.8]
+    mask = np.zeros((batch, max_boxes), bool)
+    mask[:, :2] = True
+    args = (images, jnp.asarray(boxes),
+            jnp.zeros((batch, max_boxes), jnp.int32), jnp.asarray(mask),
+            jax.random.PRNGKey(1))
+
+    results = {}
+    state0 = T.create_train_state(model, config, jax.random.PRNGKey(0))
+    for accum in (1, 4):
+        cfg = dataclasses.replace(
+            config, train=dataclasses.replace(config.train,
+                                              grad_accum=accum))
+        step_fn = jax.jit(T.make_train_step(model, levels, cfg,
+                                            with_metrics=False))
+        new_state, metrics = step_fn(state0, *args)
+        results[accum] = (jax.device_get(new_state.params),
+                          {k: float(v) for k, v in metrics.items()})
+        m = results[accum][1]
+        print(f"accum={accum}  total {m['total_loss']:.5f}  class "
+              f"{m['class_loss']:.5f}  grad_norm {m['grad_norm']:.5f}",
+              flush=True)
+
+    p1, p4 = results[1][0], results[4][0]
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat4 = dict(jax.tree_util.tree_leaves_with_path(p4))
+    p0 = jax.device_get(state0.params)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(p0))
+    worst = []
+    for path, a1 in flat1:
+        a4, a0 = flat4[path], flat0[path]
+        u1, u4 = a1 - a0, a4 - a0  # the applied updates
+        denom = max(np.abs(u1).max(), 1e-12)
+        rel = float(np.abs(u1 - u4).max() / denom)
+        ratio = float(np.linalg.norm(u4) / max(np.linalg.norm(u1), 1e-12))
+        worst.append((rel, ratio, jax.tree_util.keystr(path)))
+    worst.sort(reverse=True)
+    print("worst update mismatches (rel-max-diff, |u4|/|u1|, param):",
+          flush=True)
+    for rel, ratio, name in worst[:8]:
+        print(f"  {rel:9.4f}  {ratio:7.3f}  {name}", flush=True)
+    ratios = np.array([w[1] for w in worst])
+    print(f"update-norm ratio |u4|/|u1|: median {np.median(ratios):.4f} "
+          f"min {ratios.min():.4f} max {ratios.max():.4f}", flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     args = [int(a) for a in sys.argv[2:]]

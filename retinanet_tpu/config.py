@@ -389,6 +389,14 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         "--schedule", type=str, default="constant",
         choices=["constant", "cosine", "warmup_cosine", "cyclical"])
     parser.add_argument(
+        "--warmup-steps", type=int, default=None, metavar="N",
+        help="linear LR warmup length for --schedule warmup_cosine "
+             "(default 500)")
+    parser.add_argument(
+        "--schedule-steps", type=int, default=None, metavar="N",
+        help="decay horizon for cosine/warmup_cosine/cyclical schedules "
+             "(default 100000; set to the planned optimizer-step count)")
+    parser.add_argument(
         "--grad-accum", type=int, default=1, metavar="A",
         help="accumulate gradients over A micro-batches per optimizer step "
              "(batch-size must divide by A); fits effective batches larger "
@@ -453,6 +461,10 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
         cfg = _apply_dotted(cfg, dotted, value)
     if args.workers is not None:
         cfg = _apply_dotted(cfg, "data.num_workers", args.workers)
+    if args.warmup_steps is not None:
+        cfg = _apply_dotted(cfg, "train.warmup_steps", args.warmup_steps)
+    if args.schedule_steps is not None:
+        cfg = _apply_dotted(cfg, "train.schedule_steps", args.schedule_steps)
     if args.class_loss is not None:
         cfg = _apply_dotted(cfg, "loss.class_losses", tuple(args.class_loss))
     if args.buckets is not None:

@@ -681,7 +681,7 @@ class Trainer:
             new_params, report = load_pretrained(
                 state.params, cfg.train.init_backbone,
                 backbone=cfg.model.backbone)
-            state = state.replace(params=new_params)
+            state = state._replace(params=new_params)
             if report is not None:
                 logger.info(
                     "init backbone from %s: %d by-name + %d by-shape "

@@ -277,6 +277,28 @@ def test_trainer_end_to_end_with_checkpoint(tmp_path):
     assert int(state2.step) == 4
 
 
+def test_trainer_init_backbone_applies_import(tmp_path):
+    """--init-backbone through the Trainer: a fresh fit() must import the
+    backbone weights before step 0 (regression: state._replace was
+    mistyped as state.replace and only this code path executed it)."""
+    from retinanet_tpu.utils.pretrained import save_backbone
+
+    cfg = _tiny_config(tmp_path / "donor")
+    loader = Shapes(None, 8, (64, 64))
+    donor = Trainer(cfg, loader=loader)
+    donor_state = donor.fit(epochs=1, steps_per_epoch=1)
+    npz = str(tmp_path / "backbone.npz")
+    save_backbone(jax.device_get(donor_state.params), npz)
+
+    cfg2 = _tiny_config(tmp_path / "fresh", init_backbone=npz)
+    trainee = Trainer(cfg2, loader=loader)
+    state = trainee.fit(epochs=1, steps_per_epoch=1)
+    assert int(state.step) == 1
+    # The run trained for one step *from* the imported backbone; it must
+    # have produced a checkpoint (i.e. fit() survived the import path).
+    assert trainee.latest_checkpoint_step() == 1
+
+
 def test_train_step_rect_canvas(tmp_path):
     """One train step on a rectangular (64x32) bucket batch: same step
     function, one compiled program per canvas shape."""
