@@ -381,6 +381,103 @@ def fusedtrain(size=640):
                       flush=True)
 
 
+def r4levers(batch=128, size=640):
+    """In-model A/B of the two new serving levers on top of the adopted
+    round-4 config (fused blocks + res2 strips=20, approx top-k):
+    fused_proj (stride-1 projection block kernel) and fused_res3_strips."""
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    config, levels, _, params, images = _flagship(batch, size,
+                                                  use_approx_top_k=True)
+    variants = (
+        ("baseline (res2 strips=20)", {}),
+        ("+fused_proj", {"fused_proj": True}),
+        ("+res3 strips=10", {"fused_res3_strips": 10}),
+        ("+res3 strips=20", {"fused_res3_strips": 20}),
+        ("+res3 strips=40", {"fused_res3_strips": 40}),
+        ("+proj +res3s20", {"fused_proj": True, "fused_res3_strips": 20}),
+    )
+    for name, kw in variants:
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True, **kw))
+        model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
+        fn = make_inference_fn(model_f, levels, cfg)
+        try:
+            t = timeit(fn, params, images)
+            print(f"{name:28s} {batch/t:7.1f} img/s  {t*1e3:7.1f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+def stride2probe(batch=8, size=640):
+    """Go/no-go micro-probe for fusing the stride-2 'down' blocks: is a
+    3×3/2 conv expressible as 9 STRIDED-tap dots inside a Pallas kernel at
+    a sane fraction of the XLA conv's speed?  Strided sublane reads are the
+    suspected Mosaic relayout cost (the stem-fusion lesson) — measure them
+    in isolation before building the full down-block kernel.
+
+    Shape: res3-b0's conv2 input a1 = [160,160,128] at 640px.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = w = size // 4
+    f = 128
+    ho, wo = h // 2, w // 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, h, w, f), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, f, f) * 0.05, jnp.bfloat16)
+
+    def xla_conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def kernel(x_ref, k_ref, o_ref):
+        # SAME for stride 2, k=3, even input: pad (0,1)×(0,1); out[p,q] =
+        # Σ x[2p+dy, 2q+dx]·k[dy,dx] with dy,dx ∈ {0,1,2} on the padded map.
+        xp = jnp.pad(x_ref[0], ((0, 1), (0, 1), (0, 0)))
+        acc = jnp.zeros((ho * wo, f), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = jax.lax.slice(
+                    xp, (dy, dx, 0), (dy + 2 * ho - 1, dx + 2 * wo - 1, f),
+                    (2, 2, 1))
+                acc = acc + jnp.dot(tap.reshape(ho * wo, f), k_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        o_ref[0] = acc.astype(jnp.bfloat16).reshape(ho, wo, f)
+
+    def pallas_conv(x, k):
+        return pl.pallas_call(
+            kernel,
+            grid=(batch,),
+            in_specs=[pl.BlockSpec((1, h, w, f), lambda i: (i, 0, 0, 0)),
+                      pl.BlockSpec(k.shape, lambda i: (0, 0, 0, 0))],
+            out_specs=pl.BlockSpec((1, ho, wo, f), lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((batch, ho, wo, f), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+        )(x, k)
+
+    ref = jax.jit(xla_conv)(x, k)
+    try:
+        out = jax.jit(pallas_conv)(x, k)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                    - out.astype(jnp.float32))))
+        print(f"max abs err vs XLA conv: {err:.4f}", flush=True)
+        t_x = timeit(jax.jit(xla_conv), x, k)
+        t_p = timeit(jax.jit(pallas_conv), x, k)
+        print(f"xla 3x3/2 conv   {t_x*1e3:7.2f} ms", flush=True)
+        print(f"pallas strided   {t_p*1e3:7.2f} ms  ({t_x/t_p:.2f}x)",
+              flush=True)
+    except Exception as e:
+        print(f"pallas strided taps: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+
+
 def accumcheck(batch=32, size=640):
     """Attribution probe for the r4 focal-eff128 explosion: is grad-accum
     faithful at the REAL scale (flagship @640, focal loss), or is the

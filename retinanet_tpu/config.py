@@ -125,6 +125,17 @@ class ModelConfig:
     # _strip_kernel).  Other stages always use the whole-image kernel
     # (they fit, and it skips the conv3 recompute).
     fused_res2_strips: int = 20
+    # H-strip tiling for fused res3+ blocks (0 = whole-image kernel, the
+    # round-3 winner for those stages; >0 staged like res2 — a measurable
+    # lever: the strip kernel trades a conv3 recompute for lower VMEM
+    # residency, which can win when many 80×80×512 images contend).
+    fused_res3_strips: int = 0
+    # Fused serving kernel for the stride-1 PROJECTION block (res2 block
+    # 0): identity branch GN(x·kp) folded into the same strip-tiled pass
+    # structure (ops/pallas/bottleneck.py:fused_bottleneck_proj).  The
+    # stride-2 "down" blocks stay on XLA — strided taps are a Mosaic
+    # relayout (the stem-fusion lesson).
+    fused_proj: bool = False
     # Hand-fused Pallas BACKWARD (plus fused forward) for identity blocks
     # during training (ops/pallas/bottleneck_bwd.py).  The XLA-autodiff
     # backbone backward is HBM-saturated (NOTES round-4 bwdprof:

@@ -94,6 +94,10 @@ class ResNetBottleneck(nn.Module):
     project: Union[bool, str]
     quantize: bool = False
     fused: bool = False
+    # Fused serving kernel for the stride-1 projection block
+    # (ops/pallas/bottleneck.py:fused_bottleneck_proj); only meaningful on
+    # the ``project is True`` block (res2 block 0).
+    fused_proj: bool = False
     # H-strip rows for the fused kernel (0 = whole-image; see
     # ops/pallas/bottleneck.py:_strip_kernel).
     fused_strip_rows: int = 0
@@ -109,10 +113,14 @@ class ResNetBottleneck(nn.Module):
     def __call__(self, x: Array, *, training: bool = False) -> Array:
         identity = x
         strides = 2 if self.project == "down" else 1
+        # Instantiation order fixes the auto-numbered param names
+        # (ConvGN_0 = projection when present) — keep it stable across the
+        # fused and XLA paths so checkpoints are path-independent.
+        projconv = None
         if self.project:
-            identity = ConvGN(self.filters * 4, kernel_size=1,
+            projconv = ConvGN(self.filters * 4, kernel_size=1,
                               strides=strides, quantize=self.quantize,
-                              dtype=self.dtype)(identity, training=training)
+                              dtype=self.dtype)
         conv1 = ConvGN(self.filters, kernel_size=1, activation="relu",
                        quantize=self.quantize, dtype=self.dtype)
         conv2 = ConvGN(self.filters, kernel_size=3, strides=strides,
@@ -122,13 +130,19 @@ class ResNetBottleneck(nn.Module):
                        quantize=self.quantize, dtype=self.dtype)
         # Fused serving path: the whole identity block as one Pallas kernel
         # (1 HBM read + 1 write instead of ~11 tensor passes; see
-        # ops/pallas/bottleneck.py).  Training and projection/downsample
-        # blocks keep the XLA path (the semantic reference); parameters are
-        # created through the same modules either way, so checkpoints are
+        # ops/pallas/bottleneck.py).  Training and downsample blocks keep
+        # the XLA path (the semantic reference); parameters are created
+        # through the same modules either way, so checkpoints are
         # path-independent.
         fusable = (not self.quantize and not self.project
                    and self.dtype == jnp.bfloat16
                    and x.shape[-1] == self.filters * 4)
+        # The stride-1 PROJECTION block (res2 block 0) has its own fused
+        # serving kernel (the identity branch is GN(x·kp)); stride-2
+        # "down" blocks stay on XLA (strided taps are a Mosaic relayout).
+        proj_fusable = (not self.quantize and self.project is True
+                        and self.dtype == jnp.bfloat16)
+        interpret = jax.default_backend() != "tpu"
         if fusable and (self.fused and not training
                         or self.fused_train and training):
             # Kernel shapes derive from each conv's *input* channel count.
@@ -136,7 +150,6 @@ class ResNetBottleneck(nn.Module):
             k1, g1, b1 = conv1(x, params_only=True)
             k2, g2, b2 = conv2(inner, params_only=True)
             k3, g3, b3 = conv3(inner, params_only=True)
-            interpret = jax.default_backend() != "tpu"
             if training:
                 from retinanet_tpu.ops.pallas.bottleneck_bwd import \
                     fused_bottleneck_train
@@ -149,6 +162,20 @@ class ResNetBottleneck(nn.Module):
                 x, k1, g1, b1, k2, g2, b2, k3, g3, b3,
                 interpret=interpret,
                 strip_rows=self.fused_strip_rows)
+        if proj_fusable and self.fused_proj and not training:
+            inner = jnp.zeros((1, 1, 1, self.filters), x.dtype)
+            kp, gp, bp = projconv(x, params_only=True)
+            k1, g1, b1 = conv1(x, params_only=True)
+            k2, g2, b2 = conv2(inner, params_only=True)
+            k3, g3, b3 = conv3(inner, params_only=True)
+            from retinanet_tpu.ops.pallas.bottleneck import \
+                fused_bottleneck_proj
+            return fused_bottleneck_proj(
+                x, k1, g1, b1, k2, g2, b2, k3, g3, b3, kp, gp, bp,
+                interpret=interpret,
+                strip_rows=self.fused_strip_rows or 20)
+        if projconv is not None:
+            identity = projconv(identity, training=training)
         x = conv1(x, training=training)
         x = conv2(x, training=training)
         x = conv3(x, training=training)
@@ -166,6 +193,10 @@ class ResNet50(nn.Module):
     fused_blocks: bool = False
     fused_res2: bool = False
     fused_res2_strips: int = 20
+    # H-strips for fused res3+ blocks (0 = whole-image, the round-3 winner).
+    fused_res3_strips: int = 0
+    # Fused serving kernel for the stride-1 projection block (res2 b0).
+    fused_proj: bool = False
     # Hand-fused Pallas backward for every identity block during training
     # (ops/pallas/bottleneck_bwd.py).
     fused_train: bool = False
@@ -195,9 +226,12 @@ class ResNet50(nn.Module):
                                          fused=self.fused_blocks
                                                and (filters >= 128
                                                     or self.fused_res2),
+                                         fused_proj=self.fused_proj,
                                          fused_strip_rows=(
                                              self.fused_res2_strips
-                                             if filters == 64 else 0),
+                                             if filters == 64 else
+                                             self.fused_res3_strips
+                                             if filters == 128 else 0),
                                          fused_train=self.fused_train,
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)

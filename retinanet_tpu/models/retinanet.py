@@ -36,6 +36,8 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
                    fused_blocks: bool = False,
                    fused_res2: bool = False,
                    fused_res2_strips: int = 20,
+                   fused_res3_strips: int = 0,
+                   fused_proj: bool = False,
                    fused_train: bool = False) -> nn.Module:
     """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
     ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
@@ -47,6 +49,8 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
                         quantize=quantize, fused_blocks=fused_blocks,
                         fused_res2=fused_res2,
                         fused_res2_strips=fused_res2_strips,
+                        fused_res3_strips=fused_res3_strips,
+                        fused_proj=fused_proj,
                         fused_train=fused_train, dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
@@ -82,6 +86,8 @@ class RetinaNet(nn.Module):
     fused_blocks: bool = False
     fused_res2: bool = False
     fused_res2_strips: int = 20
+    fused_res3_strips: int = 0
+    fused_proj: bool = False
     # Hand-fused Pallas backward for dense-ResNet identity blocks during
     # training (ops/pallas/bottleneck_bwd.py).
     fused_train: bool = False
@@ -113,6 +119,8 @@ class RetinaNet(nn.Module):
             fused_blocks=cfg.fused_blocks,
             fused_res2=cfg.fused_res2,
             fused_res2_strips=cfg.fused_res2_strips,
+            fused_res3_strips=cfg.fused_res3_strips,
+            fused_proj=cfg.fused_proj,
             fused_train=cfg.fused_train,
             dtype=jnp.dtype(cfg.compute_dtype))
 
@@ -122,6 +130,8 @@ class RetinaNet(nn.Module):
             remat=self.remat, quantize=self.quantize,
             fused_blocks=self.fused_blocks, fused_res2=self.fused_res2,
             fused_res2_strips=self.fused_res2_strips,
+            fused_res3_strips=self.fused_res3_strips,
+            fused_proj=self.fused_proj,
             fused_train=self.fused_train)
         self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
                        quantize=self.quantize, space_hint=self.space_hint,

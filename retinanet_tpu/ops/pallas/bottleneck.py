@@ -234,6 +234,141 @@ def _strip_kernel(x_ref, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref, b2_ref,
         out_ref[0, r0:r1] = jnp.maximum(yb + xs, 0).reshape(rs, w, c)
 
 
+def _proj_strip_kernel(x_ref, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
+                       b2_ref, k3_ref, g3_ref, b3_ref, kp_ref, gp_ref,
+                       bp_ref, out_ref, y1_scr, y2_scr, yp_scr, *,
+                       eps: float, strips):
+    """Strip-tiled STRIDE-1 PROJECTION bottleneck (res2 block 0): the
+    identity branch is ``GN(x·kp)`` instead of ``x``.  Same four passes as
+    ``_strip_kernel`` plus: pass 1 also computes the projection conv into a
+    bf16 scratch plane (with GNp partial stats); pass 4 applies the GNp
+    affine to that plane before the residual add.  The projection plane
+    costs one extra [H,W,C]-bf16 VMEM resident — affordable at res2-b0
+    where the block INPUT is only 64-wide.  HBM traffic stays 1 read +
+    1 write; XLA's path pays ~14 tensor passes for this block (the
+    projection adds conv-write + GN stats read + affine read/write)."""
+    _, h, w, cin = x_ref.shape
+    f = k1_ref.shape[-1]
+    c = k3_ref.shape[-1]
+
+    # Pass 1: 1×1 reduce (GN1 stats) and 1×1 projection (GNp stats).
+    s1a = jnp.zeros((1, f), jnp.float32)
+    s2a = jnp.zeros((1, f), jnp.float32)
+    sp1 = jnp.zeros((1, c), jnp.float32)
+    sp2 = jnp.zeros((1, c), jnp.float32)
+    for r0, r1 in strips:
+        rs = r1 - r0
+        xs = x_ref[0, r0:r1].reshape(rs * w, cin)
+        y1 = jnp.dot(xs, k1_ref[0, 0], preferred_element_type=jnp.float32)
+        yb = y1.astype(jnp.bfloat16)
+        y1_scr[r0:r1] = yb.reshape(rs, w, f)
+        p1, p2 = _gn_partial_stats(yb)
+        s1a += p1
+        s2a += p2
+        yp = jnp.dot(xs, kp_ref[0, 0], preferred_element_type=jnp.float32)
+        ypb = yp.astype(jnp.bfloat16)
+        yp_scr[r0:r1] = ypb.reshape(rs, w, c)
+        q1, q2 = _gn_partial_stats(ypb)
+        sp1 += q1
+        sp2 += q2
+    scale1, shift1 = _gn_scale_shift(s1a, s2a, h * w, g1_ref[:], b1_ref[:],
+                                     resolve_groups(f), eps)
+    scalep, shiftp = _gn_scale_shift(sp1, sp2, h * w, gp_ref[:], bp_ref[:],
+                                     resolve_groups(c), eps)
+
+    # Pass 2: GN1+relu on haloed reads, 3×3 SAME as 9 shifted dots.
+    s1a = jnp.zeros((1, f), jnp.float32)
+    s2a = jnp.zeros((1, f), jnp.float32)
+    for r0, r1 in strips:
+        rs = r1 - r0
+        lo, hi = max(r0 - 1, 0), min(r1 + 1, h)
+        blk = y1_scr[lo:hi].reshape((hi - lo) * w, f)
+        blkn = jnp.maximum(blk * scale1 + shift1, 0).reshape(hi - lo, w, f)
+        padded = jnp.pad(blkn, ((1 - (r0 - lo), 1 - (hi - r1)),
+                                (1, 1), (0, 0)))
+        acc = jnp.zeros((rs * w, f), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = padded[dy:dy + rs, dx:dx + w, :].reshape(rs * w, f)
+                acc = acc + jnp.dot(tap, k2_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        yb = acc.astype(jnp.bfloat16)
+        y2_scr[r0:r1] = yb.reshape(rs, w, f)
+        p1, p2 = _gn_partial_stats(yb)
+        s1a += p1
+        s2a += p2
+    scale2, shift2 = _gn_scale_shift(s1a, s2a, h * w, g2_ref[:], b2_ref[:],
+                                     resolve_groups(f), eps)
+
+    # Pass 3: stats for GN3 (y3 strips discarded, recomputed in pass 4).
+    s1a = jnp.zeros((1, c), jnp.float32)
+    s2a = jnp.zeros((1, c), jnp.float32)
+    for r0, r1 in strips:
+        rs = r1 - r0
+        y2n = jnp.maximum(
+            y2_scr[r0:r1].reshape(rs * w, f) * scale2 + shift2, 0)
+        y3 = jnp.dot(y2n, k3_ref[0, 0], preferred_element_type=jnp.float32)
+        p1, p2 = _gn_partial_stats(y3.astype(jnp.bfloat16))
+        s1a += p1
+        s2a += p2
+    scale3, shift3 = _gn_scale_shift(s1a, s2a, h * w, g3_ref[:], b3_ref[:],
+                                     resolve_groups(c), eps)
+
+    # Pass 4: recompute conv3, GN3 affine, + GNp-affine(projection), relu.
+    for r0, r1 in strips:
+        rs = r1 - r0
+        y2n = jnp.maximum(
+            y2_scr[r0:r1].reshape(rs * w, f) * scale2 + shift2, 0)
+        y3 = jnp.dot(y2n, k3_ref[0, 0], preferred_element_type=jnp.float32)
+        yb = y3.astype(jnp.bfloat16) * scale3 + shift3
+        idn = yp_scr[r0:r1].reshape(rs * w, c) * scalep + shiftp
+        out_ref[0, r0:r1] = jnp.maximum(yb + idn, 0).reshape(rs, w, c)
+
+
+def fused_bottleneck_proj(x: Array, k1: Array, g1: Array, b1: Array,
+                          k2: Array, g2: Array, b2: Array,
+                          k3: Array, g3: Array, b3: Array,
+                          kp: Array, gp: Array, bp: Array,
+                          eps: float = 1e-5, interpret: bool = False,
+                          strip_rows: int = 20) -> Array:
+    """Stride-1 projection bottleneck (res2 block 0), one image per grid
+    step: ``relu(GN3(conv3(a2)) + GNp(x·kp))``.
+
+    x [B,H,W,Cin]; k1 [1,1,Cin,F]; k2 [3,3,F,F]; k3 [1,1,F,C];
+    kp [1,1,Cin,C]; g*/b* the GN affines.  Returns bf16 [B,H,W,C].
+    Only the strip-tiled variant exists (``strip_rows=0`` falls back to a
+    single whole-image strip).
+    """
+    b, h, w, cin = x.shape
+    f = k1.shape[-1]
+    c = k3.shape[-1]
+    assert kp.shape[-2:] == (cin, c) and k2.shape == (3, 3, f, f)
+    rows = min(strip_rows or h, h)
+    strips = tuple((r0, min(r0 + rows, h)) for r0 in range(0, h, rows))
+    kernel = functools.partial(_proj_strip_kernel, eps=eps, strips=strips)
+    to_bf16 = lambda a: a.astype(jnp.bfloat16)
+    row2d = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    operands = (x.astype(jnp.bfloat16),
+                to_bf16(k1), row2d(g1), row2d(b1),
+                to_bf16(k2), row2d(g2), row2d(b2),
+                to_bf16(k3), row2d(g3), row2d(b3),
+                to_bf16(kp), row2d(gp), row2d(bp))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0))]
+                 + [full(a) for a in operands[1:]],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+        scratch_shapes=(pltpu.VMEM((h, w, f), jnp.bfloat16),
+                        pltpu.VMEM((h, w, f), jnp.bfloat16),
+                        pltpu.VMEM((h, w, c), jnp.bfloat16)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(*operands)
+
+
 def fused_bottleneck(x: Array, k1: Array, g1: Array, b1: Array,
                      k2: Array, g2: Array, b2: Array,
                      k3: Array, g3: Array, b3: Array,

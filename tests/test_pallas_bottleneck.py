@@ -90,6 +90,79 @@ def test_projection_blocks_never_fuse():
     assert out.shape == (1, 8, 8, 64)
 
 
+def test_fused_proj_kernel_matches_block():
+    """Stride-1 projection kernel (fused_bottleneck_proj) vs the flax
+    block with project=True: exact on a single strip (same bf16 rounding
+    points), allclose across ragged strips (GN moments accumulate
+    per-strip)."""
+    from retinanet_tpu.ops.pallas.bottleneck import fused_bottleneck_proj
+
+    rng = np.random.RandomState(5)
+    b, h, w, f, cin = 2, 16, 12, 16, 24
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.bfloat16)
+    block = ResNetBottleneck(filters=f, project=True)
+    params = _randomized_params(block, x)
+    ref = np.asarray(block.apply({"params": params}, x, training=False),
+                     np.float32)
+
+    g = lambda *path: params[path[0]][path[1]][path[2]]
+    args = (x,
+            g("ConvGN_1", "Conv_0", "kernel"),
+            g("ConvGN_1", "GroupNorm_0", "gamma"),
+            g("ConvGN_1", "GroupNorm_0", "beta"),
+            g("ConvGN_2", "Conv_0", "kernel"),
+            g("ConvGN_2", "GroupNorm_0", "gamma"),
+            g("ConvGN_2", "GroupNorm_0", "beta"),
+            g("ConvGN_3", "Conv_0", "kernel"),
+            g("ConvGN_3", "GroupNorm_0", "gamma"),
+            g("ConvGN_3", "GroupNorm_0", "beta"),
+            g("ConvGN_0", "Conv_0", "kernel"),
+            g("ConvGN_0", "GroupNorm_0", "gamma"),
+            g("ConvGN_0", "GroupNorm_0", "beta"))
+    out = fused_bottleneck_proj(*args, interpret=True, strip_rows=0)
+    np.testing.assert_array_equal(ref, np.asarray(out, np.float32))
+    out = fused_bottleneck_proj(*args, interpret=True, strip_rows=6)
+    o = np.asarray(out, np.float32)
+    np.testing.assert_allclose(ref, o, rtol=5e-2, atol=1e-1)
+    assert (ref == o).mean() > 0.98
+
+
+def test_fused_proj_module_param_tree_and_output():
+    """fused_proj=True on the project=True block: identical param tree
+    (checkpoint compatibility), equal output, and training still takes the
+    XLA path (gradients exist)."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 8, 8, 24), jnp.bfloat16)
+    plain = ResNetBottleneck(filters=16, project=True)
+    fused = ResNetBottleneck(filters=16, project=True, fused_proj=True,
+                             fused_strip_rows=0)
+    params = _randomized_params(plain, x)
+    fused_params = fused.init(jax.random.PRNGKey(0), x, training=False)
+    assert (jax.tree.map(jnp.shape, fused_params["params"])
+            == jax.tree.map(jnp.shape, params))
+    ref = plain.apply({"params": params}, x, training=False)
+    out = fused.apply({"params": params}, x, training=False)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(out, np.float32))
+
+    def loss(p):
+        return jnp.sum(fused.apply(
+            {"params": p}, x, training=True).astype(jnp.float32))
+    grads = jax.grad(loss)(params)
+    assert all(jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads))
+
+
+def test_down_blocks_never_fuse_proj():
+    """Stride-2 'down' blocks must stay on XLA even with fused_proj."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 8, 8, 64), jnp.bfloat16)
+    block = ResNetBottleneck(filters=16, project="down", fused=True,
+                             fused_proj=True)
+    params = block.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    out = block.apply({"params": params}, x, training=False)
+    assert out.shape == (1, 4, 4, 64)
+
+
 def test_fused_res2_geometry_matches():
     """res2 geometry (filters=64, 256-wide residual): the fused_res2 lever
     applies the kernel to the 64-wide blocks too; bitwise equality on a
@@ -193,6 +266,23 @@ def test_resnet50_res2_strips_matches_unfused():
     x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.bfloat16)
     plain = ResNet50()
     fused = ResNet50(fused_blocks=True, fused_res2=True, fused_res2_strips=4)
+    params = plain.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    ref = plain.apply({"params": params}, x, training=False)
+    out = fused.apply({"params": params}, x, training=False)
+    for k in ref:
+        r = np.asarray(ref[k], np.float32)
+        o = np.asarray(out[k], np.float32)
+        np.testing.assert_allclose(r, o, rtol=5e-2, atol=1e-1, err_msg=k)
+
+
+def test_resnet50_res3_strips_matches_unfused():
+    """fused_res3_strips routes res3 (filters=128) identity blocks through
+    the strip kernel (res4/res5 stay whole-image); whole-backbone agreement
+    at the standard fused-backbone tolerance."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.bfloat16)
+    plain = ResNet50()
+    fused = ResNet50(fused_blocks=True, fused_res3_strips=3)
     params = plain.init(jax.random.PRNGKey(0), x, training=False)["params"]
     ref = plain.apply({"params": params}, x, training=False)
     out = fused.apply({"params": params}, x, training=False)
