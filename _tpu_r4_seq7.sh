@@ -1,0 +1,88 @@
+#!/bin/bash
+# Round-4 TPU queue, stage 7: fused-backward kernel fixes from the seq5
+# bisection (f32 relu-mask compares; res5 gated out by w%8) — re-bisect,
+# on-TPU numerics spot check, then the in-model --fused-train A/B that
+# VERDICT #4 demands.  Plus the stride2probe seq5 skipped, the res3-strips
+# mAP adoption gate, and a fresh bench with the adopted levers.
+# Waits for stage 6.
+# Launch: nohup bash _tpu_r4_seq7.sh > /tmp/r4seq7.log 2>&1 &
+set -x
+cd /root/repo
+
+while ! grep -q R4_SEQ6_DONE /tmp/r4seq6.log 2>/dev/null; do sleep 60; done
+
+# 1. Re-bisect: res2/3/4 should now compile on real TPU (res5 known-fail,
+#    gated out in the model).
+timeout 3600 python _r4_mosaic_debug.py bwd
+
+# 2. On-TPU numerics: kernel vs XLA autodiff at the res3 shape.
+timeout 1800 python - <<'EOF'
+import jax, jax.numpy as jnp, numpy as np
+from retinanet_tpu.ops.pallas.bottleneck_bwd import fused_bottleneck_bwd
+from retinanet_tpu.ops.pallas.bottleneck import fused_bottleneck
+
+rng = np.random.RandomState(0)
+b, h, w, c, f = 2, 80, 80, 512, 128
+x = jnp.asarray(rng.randn(b, h, w, c), jnp.bfloat16)
+dout = jnp.asarray(rng.randn(b, h, w, c), jnp.bfloat16)
+k1 = jnp.asarray(rng.randn(1, 1, c, f) * 0.05, jnp.bfloat16)
+k2 = jnp.asarray(rng.randn(3, 3, f, f) * 0.05, jnp.bfloat16)
+k3 = jnp.asarray(rng.randn(1, 1, f, c) * 0.05, jnp.bfloat16)
+g = lambda n: jnp.asarray(1 + 0.1 * rng.randn(n), jnp.float32)
+bb = lambda n: jnp.asarray(0.1 * rng.randn(n), jnp.float32)
+args = (k1, g(f), bb(f), k2, g(f), bb(f), k3, g(c), bb(c))
+
+def ref(x, *a):
+    return fused_bottleneck(x, *a)  # XLA reference path? no — use flax block
+
+# XLA autodiff of the same math: re-express the block in plain jax.
+def block(x, k1, g1, b1, k2, g2, b2, k3, g3, b3, eps=1e-5):
+    import functools
+    def gn(y, gamma, beta, groups):
+        bsz, hh, ww, cc = y.shape
+        yg = y.astype(jnp.float32).reshape(bsz, hh * ww, groups, cc // groups)
+        m = yg.mean(axis=(1, 3), keepdims=True)
+        v = ((yg - m) ** 2).mean(axis=(1, 3), keepdims=True)
+        yn = ((yg - m) * jax.lax.rsqrt(v + eps)).reshape(bsz, hh, ww, cc)
+        return yn * gamma + beta
+    from retinanet_tpu.models.layers import resolve_groups
+    conv = lambda a, k: jax.lax.conv_general_dilated(
+        a, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    y = conv(x, k1)
+    y = jnp.maximum(gn(y, g1, b1, resolve_groups(y.shape[-1])), 0).astype(jnp.bfloat16)
+    y = conv(y, k2)
+    y = jnp.maximum(gn(y, g2, b2, resolve_groups(y.shape[-1])), 0).astype(jnp.bfloat16)
+    y = conv(y, k3)
+    y = gn(y, g3, b3, resolve_groups(y.shape[-1])).astype(jnp.bfloat16)
+    return jnp.maximum(y + x, 0)
+
+def loss(x, *a):
+    return jnp.sum(block(x, *a).astype(jnp.float32) * dout.astype(jnp.float32))
+
+grads_ad = jax.jit(jax.grad(loss, argnums=tuple(range(10))))(x, *args)
+outs = jax.jit(lambda x, *a: fused_bottleneck_bwd(x, dout, *a))(x, *args)
+names = ["dx","dk1","dg1","db1","dk2","dg2","db2","dk3","dg3","db3"]
+for n, a, k in zip(names, grads_ad, outs):
+    a = np.asarray(a, np.float32); k = np.asarray(k, np.float32)
+    denom = max(1e-6, float(np.abs(a).max()))
+    print(f"{n:4s} max|ad-kernel|/max|ad| = {float(np.abs(a-k).max())/denom:.4e}")
+EOF
+
+# 3. In-model fused-train A/B (the VERDICT #4 number).
+timeout 2400 python _profile_r4.py fusedtrain 640
+
+# 4. stride2probe (skipped in seq5).
+timeout 1800 python _profile_r4.py stride2probe 8 640
+
+# 5. res3-strips=10 mAP adoption gate on the trained flagship checkpoint.
+DS="--dataset shapes /tmp/r4shapes 200 640"
+EV="python -m retinanet_tpu.evaluate $DS --backbone resnet_50_dense \
+  --scale 640 --batch-size 8 --experiment experiments/r4_bce"
+echo "=== EVAL r4_bce fused+res2+res3s10 ==="
+timeout 2400 $EV --fused-blocks --fused-res2 --fused-res3-strips 10
+
+# 6. Fresh bench with the adopted levers.
+timeout 2400 python bench.py
+
+echo R4_SEQ7_DONE

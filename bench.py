@@ -72,7 +72,12 @@ def main(argv=None):
                                   # of fused(res3+) at strip_rows=20
                                   # (NOTES round 4); rides the same gate
                                   # as fused_blocks.
-                                  fused_res2=fused),
+                                  fused_res2=fused,
+                                  # Strip-tiled res3: r4levers measured
+                                  # 589.4 img/s at strips=10 vs 578.0
+                                  # whole-image (1.020x); fused_proj lost
+                                  # (532.2) and stays off.
+                                  fused_res3_strips=10 if fused else 0),
         nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
     # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.

@@ -360,7 +360,8 @@ def evaluate_model(detector, loader, config, max_images: int = None,
                    score_threshold: float = None,
                    detections_sink=None,
                    protocol: str = "coco",
-                   per_class: bool = False) -> Dict[str, float]:
+                   per_class: bool = False,
+                   process_shard=None) -> Dict[str, float]:
     """Run the detector over a loader and compute mAP, streaming.
 
     ``protocol="voc"`` swaps in the Pascal VOC evaluator (single 0.5-IoU
@@ -386,6 +387,17 @@ def evaluate_model(detector, loader, config, max_images: int = None,
     with its GT dict (which carries ``image_id`` when the loader provides
     one) — the hook behind ``evaluate --dump-detections``, which exports
     canonical COCO-results JSON for offline pycocotools cross-validation.
+
+    ``process_shard=(shard, num_shards)`` distributes evaluation over
+    processes (multi-host eval — no reference analog; its eval surface is
+    nonexistent, SURVEY §3.4): each process detects only samples with
+    ``index % num_shards == shard``, per-image match records are
+    all-gathered at the end (one collective; detections are tiny host
+    metadata) and fed to the evaluator in global dataset order on EVERY
+    process — so the returned metrics are bit-identical to a
+    single-process run and identical across processes.  Detection itself
+    needs no collectives (decode/NMS are per-image), so each process may
+    additionally data-parallel its shard over its local devices.
     """
     import dataclasses
 
@@ -404,11 +416,22 @@ def evaluate_model(detector, loader, config, max_images: int = None,
         evaluator = COCOEvaluator(loader.num_classes)
     else:
         raise ValueError(f"unknown eval protocol: {protocol!r}")
-    # canvas (h, w) -> ([images], [scales], [gts])
+    shard, num_shards = process_shard or (0, 1)
+    eval_loader = loader
+    if num_shards > 1:
+        from retinanet_tpu.parallel.distributed import shard_loader
+        eval_loader = shard_loader(loader, shard, num_shards)
+    # Sharded runs defer add/sink: per-image records collect here, are
+    # all-gathered once at the end, and replay in global dataset order so
+    # the result is bit-identical to a single-process pass (including
+    # stable-sort tie-breaking on equal scores, which follows add order).
+    records: list = []
+
+    # canvas (h, w) -> ([images], [scales], [global indices], [gts])
     pending: Dict[tuple, tuple] = {}
 
     def flush(canvas):
-        images, scales, gts = pending.pop(canvas, ([], [], []))
+        images, scales, idxs, gts = pending.pop(canvas, ([], [], [], []))
         if not images:
             return
         n = len(images)
@@ -417,23 +440,33 @@ def evaluate_model(detector, loader, config, max_images: int = None,
             scales.append(1.0)
         results = detector.detect(np.stack(images),
                                   scales=np.asarray(scales, np.float32))
-        for det, gt in zip(results[:n], gts):
+        for det, idx, gt in zip(results[:n], idxs, gts):
             if score_threshold is not None:
                 keep = det["scores"] >= score_threshold
                 det = {k: v[keep] for k, v in det.items()}
+            if num_shards > 1:
+                records.append(
+                    (idx, gt, {k: np.asarray(v) for k, v in det.items()}))
+                continue
             if detections_sink is not None:
                 detections_sink(gt, det)
             evaluator.add(det, gt)
 
-    for i, sample in enumerate(loader):
+    for k, sample in enumerate(eval_loader):
+        # Global dataset index (shard k-th sample is shard + k*num_shards,
+        # by _LoaderShard's round-robin order); max_images caps GLOBALLY so
+        # sharded and single-process runs see the same image set.
+        i = shard + k * num_shards
         if max_images is not None and i >= max_images:
             break
         sample, canvas = select_canvas(sample, data_cfg)
         out = process_sample(sample, canvas, mean, std,
                              max_boxes=config.assign.max_boxes, flip=False)
-        images, scales, gts = pending.setdefault(canvas, ([], [], []))
+        images, scales, idxs, gts = pending.setdefault(
+            canvas, ([], [], [], []))
         images.append(out["image"])
         scales.append(float(out["scale"]))
+        idxs.append(i)
         gts.append({"boxes": np.asarray(sample["boxes"], np.float32),
                     "class_ids": np.asarray(sample["class_ids"]),
                     "iscrowd": sample.get("iscrowd"),
@@ -446,6 +479,14 @@ def evaluate_model(detector, loader, config, max_images: int = None,
             flush(canvas)
     for canvas in list(pending):
         flush(canvas)
+    if num_shards > 1:
+        from retinanet_tpu.parallel.distributed import allgather_pyobjs
+        merged = [r for proc in allgather_pyobjs(records) for r in proc]
+        merged.sort(key=lambda r: r[0])
+        for _, gt, det in merged:
+            if detections_sink is not None:
+                detections_sink(gt, det)
+            evaluator.add(det, gt)
     metrics = evaluator.summarize()
     if per_class:
         # Per-category diagnostic (COCO: mAP@[.5:.95]; VOC: VOC07 AP);

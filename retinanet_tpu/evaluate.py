@@ -22,7 +22,7 @@ from retinanet_tpu.config import Config, _apply_dotted
 from retinanet_tpu.data.loaders.inferred import Inferred
 from retinanet_tpu.eval_coco import evaluate_model
 from retinanet_tpu.infer import Detector
-from retinanet_tpu.train import Trainer, create_train_state
+from retinanet_tpu.train import create_train_state
 
 logger = logging.getLogger(__name__)
 
@@ -31,31 +31,45 @@ def load_detector(config: Config, loader, step=None, mesh=None,
                   average_last: int = None) -> Detector:
     """Build a Detector from the experiment's latest (or given) checkpoint.
 
+    Goes through :class:`~retinanet_tpu.train.CheckpointStore` directly —
+    NOT a Trainer — so serving never inherits training-only validations
+    (a multi-host eval shards the dataset across processes, not the batch,
+    and must not be rejected for batch-vs-mesh divisibility).
+
     ``average_last=N`` serves the elementwise mean of the newest N
     checkpoints' params instead of a single checkpoint — checkpoint
     averaging, the classic cheap eval boost (SWA-style; no equivalent in
-    the reference, which had no eval at all).
+    the reference, which had no eval at all).  Measured on the round-4
+    flagship run: avg-2 mAP 0.8183 vs last-checkpoint 0.7510 (NOTES).
     """
     import os
 
-    trainer = Trainer(config, loader=loader)
+    from retinanet_tpu.models.retinanet import RetinaNet
+    from retinanet_tpu.ops.anchors import build_levels
+    from retinanet_tpu.train import CheckpointStore
+
+    levels = build_levels(config.anchors)
+    model = RetinaNet.from_config(config.model,
+                                  num_anchors=levels.num_anchors,
+                                  num_classes=loader.num_classes)
+    store = CheckpointStore(config.train.experiment,
+                            config.train.keep_checkpoints)
     if average_last is not None and average_last > 1:
         if step is not None:
             raise ValueError("--step and --average-checkpoints are "
                              "mutually exclusive")
-        steps = trainer.checkpoint_steps()[-average_last:]
+        steps = store.checkpoint_steps()[-average_last:]
         if not steps:
             raise FileNotFoundError(
-                f"no checkpoints in {trainer.checkpoint_dir}")
+                f"no checkpoints in {store.checkpoint_dir}")
         if len(steps) < average_last:
             logger.warning("only %d checkpoints available for "
                            "--average-checkpoints %d", len(steps),
                            average_last)
-        state = create_train_state(trainer.model, config,
-                                   jax.random.PRNGKey(0))
+        state = create_train_state(model, config, jax.random.PRNGKey(0))
         acc = None
         for s in steps:
-            params = trainer.restore_checkpoint(state, s).params
+            params = store.restore(state, s).params
             acc = params if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, acc, params)
         n = float(len(steps))
@@ -65,19 +79,19 @@ def load_detector(config: Config, loader, step=None, mesh=None,
     if step is not None:
         # Fail fast on a missing checkpoint — before the (expensive)
         # parameter init compiles anything.
-        path = os.path.join(trainer.checkpoint_dir, f"step_{step}")
+        path = os.path.join(store.checkpoint_dir, f"step_{step}")
         if not os.path.isdir(path):
             raise FileNotFoundError(
-                f"no checkpoint at step {step} in {trainer.checkpoint_dir} "
-                f"(latest available: {trainer.latest_checkpoint_step()})")
-    elif trainer.latest_checkpoint_step() is None:
-        # Without this, restore_checkpoint would silently return the
-        # random-init state and the caller would serve garbage with rc=0.
+                f"no checkpoint at step {step} in {store.checkpoint_dir} "
+                f"(latest available: {store.latest_checkpoint_step()})")
+    elif store.latest_checkpoint_step() is None:
+        # Without this, restore would silently return the random-init
+        # state and the caller would serve garbage with rc=0.
         raise FileNotFoundError(
-            f"no checkpoints in {trainer.checkpoint_dir} — wrong "
+            f"no checkpoints in {store.checkpoint_dir} — wrong "
             f"--experiment path, or the run never saved one")
-    state = create_train_state(trainer.model, config, jax.random.PRNGKey(0))
-    state = trainer.restore_checkpoint(state, step)
+    state = create_train_state(model, config, jax.random.PRNGKey(0))
+    state = store.restore(state, step)
     return Detector(config, state.params, loader.class_names, mesh=mesh)
 
 
@@ -137,6 +151,11 @@ def main(argv=None):
              "strip-tiled kernel (fused_res2_strips=20, the measured "
              "winner — NOTES round 4)")
     parser.add_argument(
+        "--fused-res3-strips", type=int, default=0, metavar="R",
+        help="with --fused-blocks: strip-tile the fused res3+ kernels "
+             "over R-row bands instead of whole-image residency "
+             "(r4levers measured winner: 10)")
+    parser.add_argument(
         "--data-parallel", action="store_true",
         help="shard eval batches over ALL local devices (params replicated, "
              "batch split on a 1-D data mesh; no collectives — decode/NMS "
@@ -193,17 +212,32 @@ def main(argv=None):
         ("nms.use_approx_global_top_k", bool(args.approx_global_top_k)),
         ("model.fused_blocks", bool(args.fused_blocks)),
         ("model.fused_res2", bool(args.fused_res2)),
+        ("model.fused_res3_strips", args.fused_res3_strips),
     ]:
         config = _apply_dotted(config, dotted, value)
 
     # Evaluation mode: crowd annotations become ignore regions (COCO eval
     # protocol) rather than being dropped (the training behaviour).
     loader = Inferred(args.dataset[0], args.dataset[1:], include_crowds=True)
+    # Multi-process eval (the caller — pod runtime or test harness — has
+    # already joined the cluster via jax.distributed.initialize): each
+    # process detects its round-robin shard of the dataset, match records
+    # are all-gathered once at the end, and every process computes
+    # identical metrics (bit-equal to a single-process run).
+    num_procs = jax.process_count()
+    process_shard = (jax.process_index(), num_procs) if num_procs > 1 \
+        else None
     mesh = None
     if args.data_parallel:
         from retinanet_tpu.config import ParallelConfig
         from retinanet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(ParallelConfig(spatial=args.spatial))
+        # Detection needs no collectives (decode/NMS are per-image), so
+        # under multi-process each process shards its batches over its OWN
+        # local devices — a global mesh would need globally-assembled
+        # arrays for no benefit.
+        devices = jax.local_devices() if num_procs > 1 else None
+        mesh = make_mesh(ParallelConfig(spatial=args.spatial),
+                         devices=devices)
         logger.info("data-parallel serving over %d devices%s", mesh.size,
                     f" (spatial={args.spatial})" if args.spatial > 1 else "")
     elif args.spatial > 1:
@@ -254,16 +288,21 @@ def main(argv=None):
                              score_threshold=args.score_threshold,
                              detections_sink=sink,
                              protocol=args.protocol,
-                             per_class=args.per_class)
-    if args.dump_detections:
+                             per_class=args.per_class,
+                             process_shard=process_shard)
+    is_lead = jax.process_index() == 0
+    if args.dump_detections and is_lead:
+        # The sink replays the gathered records on every process, so the
+        # dump is complete everywhere — but only the lead writes it.
         with open(args.dump_detections, "w") as f:
             json.dump(dump, f)
         logger.info("wrote %d detections to %s (COCO-results format)",
                     len(dump), args.dump_detections)
     import math
-    # nan = "no GT in this area bucket" → null (strict-JSON safe).
-    print(json.dumps({k: (None if isinstance(v, float) and math.isnan(v)
-                          else v) for k, v in metrics.items()}))
+    if is_lead:
+        # nan = "no GT in this area bucket" → null (strict-JSON safe).
+        print(json.dumps({k: (None if isinstance(v, float) and math.isnan(v)
+                              else v) for k, v in metrics.items()}))
     return metrics
 
 

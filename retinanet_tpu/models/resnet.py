@@ -143,8 +143,15 @@ class ResNetBottleneck(nn.Module):
         proj_fusable = (not self.quantize and self.project is True
                         and self.dtype == jnp.bfloat16)
         interpret = jax.default_backend() != "tpu"
+        # The hand-fused BACKWARD DMAs whole [H,W,C] planes from tiled HBM
+        # buffers; Mosaic requires slice extents on the sublane (W) dim to
+        # be 8-aligned, so res5 @640 (w=20) keeps XLA autodiff — it is the
+        # smallest plane, so it carries the least of the HBM-traffic win
+        # anyway (r4 mosaic bisection: "Slice shape along dimension 2 must
+        # be aligned to tiling (8), but is 20").
+        bwd_ok = x.shape[2] % 8 == 0
         if fusable and (self.fused and not training
-                        or self.fused_train and training):
+                        or self.fused_train and training and bwd_ok):
             # Kernel shapes derive from each conv's *input* channel count.
             inner = jnp.zeros((1, 1, 1, self.filters), x.dtype)
             k1, g1, b1 = conv1(x, params_only=True)

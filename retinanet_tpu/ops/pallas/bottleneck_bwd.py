@@ -192,7 +192,9 @@ def _bwd_kernel(x_hbm, dout_hbm, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
         n3 = ybs * scale3 + shift3                   # bf16, as the forward
         pre = n3 + x_pl[r0:r1].reshape(rs * w, c)    # bf16 add, as forward
         do = ds_buf[pl.ds(0, rs)].reshape(rs * w, c)
-        d3 = jnp.where(pre > 0, do, jnp.zeros_like(do))
+        # v5e Mosaic: no bf16 vector compare ("Target does not support this
+        # comparison") — compare in f32 (exact: bf16 ⊂ f32).
+        d3 = jnp.where(pre.astype(_F32) > 0, do, jnp.zeros_like(do))
         dn3[r0:r1] = d3.reshape(rs, w, c)
         d32 = d3.astype(_F32)
         yhat = (ybs.astype(_F32) - mean3) * inv3
@@ -215,7 +217,8 @@ def _bwd_kernel(x_hbm, dout_hbm, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
         da2 = _dot(dy3, k3_ref[:], 1, 1)             # [M_s, F] = dy3·k3ᵀ
         dk3_ref[...] += _dot(a2, dy3, 0, 0)          # [F, C]
         n2 = yb2[r0:r1].reshape(rs * w, f) * scale2 + shift2
-        d2 = jnp.where(n2 > 0, da2.astype(_BF16), jnp.zeros((), _BF16))
+        d2 = jnp.where(n2.astype(_F32) > 0, da2.astype(_BF16),
+                       jnp.zeros((), _BF16))
         dn2[r0:r1] = d2.reshape(rs, w, f)
         d22 = d2.astype(_F32)
         yhat2 = (yb2[r0:r1].reshape(rs * w, f).astype(_F32) - mean2) * inv2
@@ -260,7 +263,8 @@ def _bwd_kernel(x_hbm, dout_hbm, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
                 tap = pa1[dy:dy + rs, dx:dx + w, :].reshape(rs * w, f)
                 dk2_ref[dy, dx] += _dot(tap, dy2c, 0, 0)
         n1 = yb1[r0:r1].reshape(rs * w, f) * scale1 + shift1
-        d1 = jnp.where(n1 > 0, acc.astype(_BF16), jnp.zeros((), _BF16))
+        d1 = jnp.where(n1.astype(_F32) > 0, acc.astype(_BF16),
+                       jnp.zeros((), _BF16))
         dn1[r0:r1] = d1.reshape(rs, w, f)
         d12 = d1.astype(_F32)
         yhat1 = (yb1[r0:r1].reshape(rs * w, f).astype(_F32) - mean1) * inv1

@@ -78,6 +78,33 @@ def shard_loader(loader, shard: int, num_shards: int):
     return _LoaderShard(loader, shard, num_shards)
 
 
+def allgather_pyobjs(obj):
+    """All-gather one picklable host object per process; every process
+    returns the list ``[obj_from_process_0, ..., obj_from_process_{n-1}]``
+    (identity for single-process runs).
+
+    Objects are pickled and exchanged as max-length-padded uint8 arrays via
+    ``multihost_utils.process_allgather`` (two collectives: lengths, then
+    payloads).  Host metadata only — e.g. the distributed evaluator's
+    per-image detection records — never hot-path tensors.
+    """
+    import pickle
+
+    n = jax.process_count()
+    if n == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(data)], np.int64))).reshape(n)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [pickle.loads(gathered[i, :int(lens[i])].tobytes())
+            for i in range(n)]
+
+
 def global_batch_from_local(local_arrays, mesh, shardings=None) -> "jax.Array":
     """Assemble per-process local batch shards into one global jax.Array
     sharded on the mesh's data axis.

@@ -327,6 +327,120 @@ def create_train_state(model: RetinaNet, config: Config,
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
 
 
+class CheckpointStore:
+    """Experiment-directory checkpoint access, decoupled from the Trainer.
+
+    The Trainer composes one for training; evaluate/export/detect construct
+    one directly, so serving-side restores don't inherit training-only
+    validations (e.g. global-batch divisibility against the mesh — a
+    multi-host EVAL shards the *dataset* across processes, not the batch).
+    Retention semantics match the reference Estimator's
+    ``RunConfig(keep_checkpoint_max=5)`` (``/root/reference/train.py:263``,
+    TF default): pruning keeps the newest N finalized ``step_N`` dirs and
+    only ever runs after a save from THIS store — a restore-only store
+    (evaluate) never prunes someone else's experiment.
+    """
+
+    def __init__(self, experiment: str, keep_checkpoints: int = 5,
+                 is_lead: bool = True):
+        self.experiment = experiment
+        self.keep_checkpoints = keep_checkpoints
+        self.is_lead = is_lead
+        self._checkpointer = None
+        self._saved = False
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(os.path.abspath(self.experiment), "checkpoints")
+
+    def _ckpt(self):
+        if self._checkpointer is None:
+            import orbax.checkpoint as ocp
+            self._checkpointer = ocp.StandardCheckpointer()
+        return self._checkpointer
+
+    def save(self, state: TrainState):
+        """Async save (Orbax): returns immediately, I/O overlaps training.
+
+        Retains only the newest ``keep_checkpoints`` completed checkpoints.
+        Pruning happens AFTER the new save is dispatched and only touches
+        finalized ``step_N`` directories (the in-flight async save is
+        tmp-named until finalized), and it always retains the newest
+        ``keep_checkpoints`` finalized ones — so even with
+        ``keep_checkpoints=1`` a crash or a failed save mid-flight never
+        leaves zero restorable checkpoints.
+        """
+        step = int(state.step)
+        path = os.path.join(self.checkpoint_dir, f"step_{step}")
+        self._ckpt().save(path, {"step": state.step, "params": state.params,
+                                 "opt_state": state.opt_state}, force=True)
+        self._saved = True
+        logger.info("saving checkpoint at step %d", step)
+        if self.is_lead:
+            self._prune(keep=max(1, self.keep_checkpoints))
+
+    def _finalized_steps(self) -> list:
+        """Finalized step_N dirs on disk, ascending (no async wait — safe
+        to call from pruning inside wait_for_checkpoints itself)."""
+        if not os.path.isdir(self.checkpoint_dir):
+            return []
+        steps = []
+        for name in os.listdir(self.checkpoint_dir):
+            if name.startswith("step_") and "tmp" not in name:
+                try:
+                    steps.append(int(name.split("_")[1]))
+                except ValueError:
+                    pass
+        return sorted(steps)
+
+    def _prune(self, keep: int):
+        steps = self._finalized_steps()
+        import shutil
+        for step in steps[:-keep] if keep > 0 else steps:
+            shutil.rmtree(
+                os.path.join(self.checkpoint_dir, f"step_{step}"),
+                ignore_errors=True)
+
+    def wait_for_checkpoints(self):
+        if self._checkpointer is not None:
+            self._checkpointer.wait_until_finished()
+            # Now that the in-flight save is finalized, enforce the exact
+            # retention count (save-time pruning keeps one extra while the
+            # newest save is still tmp-named).  Restore-only stores have
+            # nothing in flight and must never prune.
+            if self.is_lead and self._saved:
+                self._prune(keep=max(1, self.keep_checkpoints))
+
+    def checkpoint_steps(self) -> list:
+        """All finalized checkpoint steps, ascending (waits for any
+        in-flight async save first)."""
+        self.wait_for_checkpoints()
+        return self._finalized_steps()
+
+    def latest_checkpoint_step(self) -> Optional[int]:
+        steps = self.checkpoint_steps()
+        return max(steps) if steps else None
+
+    def restore(self, state: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        explicit = step is not None
+        step = step if step is not None else self.latest_checkpoint_step()
+        if step is None:
+            return state
+        path = os.path.join(self.checkpoint_dir, f"step_{step}")
+        if explicit and not os.path.isdir(path):
+            available = self.latest_checkpoint_step()
+            raise FileNotFoundError(
+                f"no checkpoint at step {step} in {self.checkpoint_dir} "
+                f"(latest available: {available})")
+        template = {"step": state.step, "params": state.params,
+                    "opt_state": state.opt_state}
+        restored = self._ckpt().restore(path, template)
+        logger.info("restored checkpoint from step %d", step)
+        return TrainState(restored["step"], restored["params"],
+                          restored["opt_state"])
+
+
 class Trainer:
     """Epoch loop + checkpoints + metrics (reference ``train.py:246-277``)."""
 
@@ -462,101 +576,31 @@ class Trainer:
         self.is_lead = jax.process_index() == 0
         self.writer = (MetricsWriter(config.train.experiment)
                        if self.is_lead else None)
-        self._checkpointer = None
+        self.checkpoints = CheckpointStore(config.train.experiment,
+                                           config.train.keep_checkpoints,
+                                           is_lead=self.is_lead)
         self._infer_fn = None
 
-    # -- checkpointing -----------------------------------------------------
+    # -- checkpointing (delegates to CheckpointStore) ------------------------
     @property
     def checkpoint_dir(self) -> str:
-        return os.path.join(os.path.abspath(self.config.train.experiment),
-                            "checkpoints")
-
-    def _ckpt(self):
-        if self._checkpointer is None:
-            import orbax.checkpoint as ocp
-            self._checkpointer = ocp.StandardCheckpointer()
-        return self._checkpointer
+        return self.checkpoints.checkpoint_dir
 
     def save_checkpoint(self, state: TrainState):
-        """Async save (Orbax): returns immediately, I/O overlaps training.
-
-        Retains only the newest ``keep_checkpoints`` completed checkpoints
-        (the reference's Estimator kept 5, ``RunConfig`` default).  Pruning
-        happens AFTER the new save is dispatched and only touches finalized
-        ``step_N`` directories (the in-flight async save is tmp-named until
-        finalized), and it always retains the newest ``keep_checkpoints``
-        finalized ones — so even with ``keep_checkpoints=1`` a crash or a
-        failed save mid-flight never leaves zero restorable checkpoints.
-        """
-        step = int(state.step)
-        path = os.path.join(self.checkpoint_dir, f"step_{step}")
-        self._ckpt().save(path, {"step": state.step, "params": state.params,
-                                 "opt_state": state.opt_state}, force=True)
-        logger.info("saving checkpoint at step %d", step)
-        if self.is_lead:
-            self._prune_checkpoints(
-                keep=max(1, self.config.train.keep_checkpoints))
-
-    def _finalized_steps(self) -> list:
-        """Finalized step_N dirs on disk, ascending (no async wait — safe
-        to call from pruning inside wait_for_checkpoints itself)."""
-        if not os.path.isdir(self.checkpoint_dir):
-            return []
-        steps = []
-        for name in os.listdir(self.checkpoint_dir):
-            if name.startswith("step_") and "tmp" not in name:
-                try:
-                    steps.append(int(name.split("_")[1]))
-                except ValueError:
-                    pass
-        return sorted(steps)
-
-    def _prune_checkpoints(self, keep: int):
-        steps = self._finalized_steps()
-        import shutil
-        for step in steps[:-keep] if keep > 0 else steps:
-            shutil.rmtree(
-                os.path.join(self.checkpoint_dir, f"step_{step}"),
-                ignore_errors=True)
+        self.checkpoints.save(state)
 
     def wait_for_checkpoints(self):
-        if self._checkpointer is not None:
-            self._checkpointer.wait_until_finished()
-            # Now that the in-flight save is finalized, enforce the exact
-            # retention count (save-time pruning keeps one extra while the
-            # newest save is still tmp-named).
-            if self.is_lead:
-                self._prune_checkpoints(
-                    keep=max(1, self.config.train.keep_checkpoints))
+        self.checkpoints.wait_for_checkpoints()
 
     def checkpoint_steps(self) -> list:
-        """All finalized checkpoint steps, ascending (waits for any
-        in-flight async save first)."""
-        self.wait_for_checkpoints()
-        return self._finalized_steps()
+        return self.checkpoints.checkpoint_steps()
 
     def latest_checkpoint_step(self) -> Optional[int]:
-        steps = self.checkpoint_steps()
-        return max(steps) if steps else None
+        return self.checkpoints.latest_checkpoint_step()
 
     def restore_checkpoint(self, state: TrainState,
                            step: Optional[int] = None) -> TrainState:
-        explicit = step is not None
-        step = step if step is not None else self.latest_checkpoint_step()
-        if step is None:
-            return state
-        path = os.path.join(self.checkpoint_dir, f"step_{step}")
-        if explicit and not os.path.isdir(path):
-            available = self.latest_checkpoint_step()
-            raise FileNotFoundError(
-                f"no checkpoint at step {step} in {self.checkpoint_dir} "
-                f"(latest available: {available})")
-        template = {"step": state.step, "params": state.params,
-                    "opt_state": state.opt_state}
-        restored = self._ckpt().restore(path, template)
-        logger.info("restored checkpoint from step %d", step)
-        return TrainState(restored["step"], restored["params"],
-                          restored["opt_state"])
+        return self.checkpoints.restore(state, step)
 
     # -- image summaries -----------------------------------------------------
     def write_image_summaries(self, state: TrainState, batch: Batch):

@@ -70,6 +70,18 @@ assert trainer.is_lead == (pid == 0)
 state = trainer.fit()
 assert trainer.latest_checkpoint_step() == 2
 print("FINAL_STEP", int(state.step), "LOSS_OK", flush=True)
+
+if sys.argv[4] == "square":
+    # Multi-process evaluation: each process detects its round-robin shard,
+    # records are all-gathered, and EVERY process must compute identical
+    # metrics (evaluate_model replays records in global dataset order).
+    import json
+    from retinanet_tpu import evaluate as eval_cli
+    metrics = eval_cli.main([
+        "--dataset", "shapes", "unused", "16", "64",
+        "--experiment", sys.argv[3], "--backbone", "mobilenet_v2",
+        "--scale", "64", "--batch-size", "4", "--platform", "cpu"])
+    print("EVAL_METRICS", json.dumps(metrics, sort_keys=True), flush=True)
 """
 
 
@@ -114,3 +126,22 @@ def test_two_process_distributed_training(tmp_path, mode):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert "FINAL_STEP 2" in out, out[-2000:]
+    if mode == "square":
+        # Sharded multi-process eval must yield IDENTICAL metrics on every
+        # process (records replayed in global order after the all-gather).
+        lines = [[ln for ln in out.splitlines()
+                  if ln.startswith("EVAL_METRICS ")] for out in outs]
+        assert all(len(ls) == 1 for ls in lines), outs[0][-2000:]
+        assert lines[0][0] == lines[1][0], (lines[0][0], lines[1][0])
+        # ... and bit-identical to a single-process evaluation of the same
+        # checkpoint (per-image detection is batch-composition-independent;
+        # records replay in global dataset order).
+        import json
+
+        from retinanet_tpu import evaluate as eval_cli
+        single = eval_cli.main([
+            "--dataset", "shapes", "unused", "16", "64",
+            "--experiment", exp, "--backbone", "mobilenet_v2",
+            "--scale", "64", "--batch-size", "4", "--platform", "cpu"])
+        expect = "EVAL_METRICS " + json.dumps(single, sort_keys=True)
+        assert lines[0][0] == expect, (lines[0][0], expect)

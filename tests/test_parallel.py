@@ -88,6 +88,11 @@ def test_distributed_helpers_single_process():
     arr = distributed.global_batch_from_local(
         np.zeros((8, 4), np.float32), mesh)
     assert arr.shape == (8, 4)
+    # allgather_pyobjs: identity list single-process (arbitrary pickle-able
+    # payload; the 2-process path is covered by test_multihost's eval).
+    obj = {"records": [(3, {"boxes": np.zeros((2, 4))})], "s": "x"}
+    out = distributed.allgather_pyobjs(obj)
+    assert len(out) == 1 and out[0] is obj
 
 
 def test_shard_loader_partitions_dataset():

@@ -20,37 +20,60 @@ _DEPTHS = (3, 4, 6, 3)
 _WIDTHS = (64, 128, 256, 512)
 
 
-def synth_torchvision_resnet50(seed=0):
-    """Synthesize a state_dict with torchvision's exact key set + shapes."""
+def synth_torchvision_resnet50(seed=0, realistic=False):
+    """Synthesize a state_dict with torchvision's exact key set + shapes.
+
+    ``realistic=False`` (unit tests): unscaled randn everywhere — scaling is
+    irrelevant to the key/shape/layout mapping under test, and distinct
+    values per tensor catch transposition bugs.  ``realistic=True``
+    (convergence experiments): kaiming-scaled convs, γ≈1 / β≈0 norms — the
+    statistics real trained torchvision weights have, so an imported-init
+    training run measures the import *plumbing*, not the pathology of
+    std-1.0 convs (round-4 NOTES: the unscaled variant trains to mAP 0.05
+    vs scratch 0.62 — proof the import is applied, not a plumbing verdict).
+    """
     rng = np.random.RandomState(seed)
     sd = {}
 
+    def conv(shape):
+        w = rng.randn(*shape).astype(np.float32)
+        if realistic:  # kaiming fan_in = in_ch * kh * kw (OIHW)
+            w *= np.sqrt(2.0 / (shape[1] * shape[2] * shape[3]))
+        return w
+
     def bn(prefix, c):
-        sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
-        sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
-        sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
-        sd[f"{prefix}.running_var"] = np.abs(rng.randn(c)).astype(np.float32)
+        if realistic:
+            sd[f"{prefix}.weight"] = (
+                1.0 + 0.05 * rng.randn(c)).astype(np.float32)
+            sd[f"{prefix}.bias"] = (0.05 * rng.randn(c)).astype(np.float32)
+            sd[f"{prefix}.running_mean"] = (
+                0.05 * rng.randn(c)).astype(np.float32)
+            sd[f"{prefix}.running_var"] = (
+                1.0 + 0.05 * np.abs(rng.randn(c))).astype(np.float32)
+        else:
+            sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.running_var"] = np.abs(
+                rng.randn(c)).astype(np.float32)
         sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
 
-    sd["conv1.weight"] = rng.randn(64, 3, 7, 7).astype(np.float32)
+    sd["conv1.weight"] = conv((64, 3, 7, 7))
     bn("bn1", 64)
     in_ch = 64
     for layer, (depth, width) in enumerate(zip(_DEPTHS, _WIDTHS), start=1):
         for b in range(depth):
             p = f"layer{layer}.{b}"
-            sd[f"{p}.conv1.weight"] = rng.randn(
-                width, in_ch if b == 0 else width * 4, 1, 1
-            ).astype(np.float32)
+            sd[f"{p}.conv1.weight"] = conv(
+                (width, in_ch if b == 0 else width * 4, 1, 1))
             bn(f"{p}.bn1", width)
-            sd[f"{p}.conv2.weight"] = rng.randn(
-                width, width, 3, 3).astype(np.float32)
+            sd[f"{p}.conv2.weight"] = conv((width, width, 3, 3))
             bn(f"{p}.bn2", width)
-            sd[f"{p}.conv3.weight"] = rng.randn(
-                width * 4, width, 1, 1).astype(np.float32)
+            sd[f"{p}.conv3.weight"] = conv((width * 4, width, 1, 1))
             bn(f"{p}.bn3", width * 4)
             if b == 0:
-                sd[f"{p}.downsample.0.weight"] = rng.randn(
-                    width * 4, in_ch, 1, 1).astype(np.float32)
+                sd[f"{p}.downsample.0.weight"] = conv(
+                    (width * 4, in_ch, 1, 1))
                 bn(f"{p}.downsample.1", width * 4)
         in_ch = width * 4
     sd["fc.weight"] = rng.randn(1000, 2048).astype(np.float32)
