@@ -412,6 +412,102 @@ def r4levers(batch=128, size=640):
             print(f"{name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
+def r4levers2(batch=128, size=640):
+    """Third serving-lever sweep on top of the adopted round-4 config
+    (fused blocks + res2 strips=20 + res3 strips=10, approx top-k):
+    strip-tiling res4."""
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    config, levels, _, params, images = _flagship(batch, size,
+                                                  use_approx_top_k=True)
+    variants = (
+        ("baseline (res3 strips=10)", {}),
+        ("+res4 strips=10", {"fused_res4_strips": 10}),
+        ("+res4 strips=20", {"fused_res4_strips": 20}),
+    )
+    for name, kw in variants:
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True,
+                fused_res3_strips=10, **kw))
+        model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
+        fn = make_inference_fn(model_f, levels, cfg)
+        try:
+            t = timeit(fn, params, images)
+            print(f"{name:28s} {batch/t:7.1f} img/s  {t*1e3:7.1f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+def point(batch=128, size=640):
+    """One number: the adopted serving config (fused + res2 strips=20 +
+    res3 strips=10, approx top-k) at the given batch.  For XLA-flags A/Bs —
+    each flag set needs a fresh process (XLA_FLAGS is read at init)."""
+    import os
+
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    config, levels, _, params, images = _flagship(batch, size,
+                                                  use_approx_top_k=True)
+    cfg = dataclasses.replace(
+        config, model=dataclasses.replace(
+            config.model, fused_blocks=True, fused_res2=True,
+            fused_res3_strips=10))
+    model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
+    fn = make_inference_fn(model_f, levels, cfg)
+    t = timeit(fn, params, images)
+    print(f"XLA_FLAGS={os.environ.get('XLA_FLAGS', '')!r:60s} "
+          f"b{batch} {batch/t:7.1f} img/s  {t*1e3:7.1f} ms", flush=True)
+
+
+def batchsweep2(size=640):
+    """Batch sweep under the adopted round-4 strip config (strips cut VMEM
+    residency, which may move the throughput sweet spot past b128)."""
+    from retinanet_tpu.infer import make_inference_fn
+    from retinanet_tpu.models.retinanet import RetinaNet
+
+    for batch in (128, 160, 192, 256):
+        config, levels, _, params, images = _flagship(batch, size,
+                                                      use_approx_top_k=True)
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, fused_blocks=True, fused_res2=True,
+                fused_res3_strips=10))
+        model_f = RetinaNet.from_config(cfg.model, levels.num_anchors, 80)
+        fn = make_inference_fn(model_f, levels, cfg)
+        try:
+            t = timeit(fn, params, images)
+            print(f"b{batch:<4d} {batch/t:7.1f} img/s  {t*1e3:7.1f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"b{batch}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+
+
+def bwdstrips(size=640):
+    """Sweep the fused-backward strip size in the full train step at b32
+    (the fusedtrain winner config): more rows per strip = fewer DMA round
+    trips and bigger dots; fewer rows = lower VMEM residency."""
+    from retinanet_tpu import train as T
+
+    config, *_ = _flagship(1, size)
+    for rows in (10, 20, 40, 80):
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(config.model,
+                                              fused_train=True,
+                                              fused_bwd_strip_rows=rows))
+        try:
+            r = T.benchmark_train(cfg, batch_size=32, steps=6, warmup=2)
+            print(f"bwd strips={rows:<3d} {r['images_per_sec']:7.1f} img/s"
+                  f"  {r['step_ms']:7.1f} ms/step", flush=True)
+        except Exception as e:
+            print(f"bwd strips={rows}: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
 def stride2probe(batch=8, size=640):
     """Go/no-go micro-probe for fusing the stride-2 'down' blocks: is a
     3×3/2 conv expressible as 9 STRIDED-tap dots inside a Pallas kernel at

@@ -130,6 +130,14 @@ class ModelConfig:
     # lever: the strip kernel trades a conv3 recompute for lower VMEM
     # residency, which can win when many 80×80×512 images contend).
     fused_res3_strips: int = 0
+    # H-strip tiling for fused res4 blocks (0 = whole-image; res4's
+    # 40×40×1024 planes are small VMEM residents, so whole-image is the
+    # expected winner — the knob exists so the sweep can measure it).
+    fused_res4_strips: int = 0
+    # H-strips for the fused BACKWARD kernel (fused_train; rows per strip
+    # in the 7-pass recompute+gradient pipeline of
+    # ops/pallas/bottleneck_bwd.py).
+    fused_bwd_strip_rows: int = 20
     # Fused serving kernel for the stride-1 PROJECTION block (res2 block
     # 0): identity branch GN(x·kp) folded into the same strip-tiled pass
     # structure (ops/pallas/bottleneck.py:fused_bottleneck_proj).  The

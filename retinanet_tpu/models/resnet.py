@@ -202,11 +202,14 @@ class ResNet50(nn.Module):
     fused_res2_strips: int = 20
     # H-strips for fused res3+ blocks (0 = whole-image, the round-3 winner).
     fused_res3_strips: int = 0
+    # H-strips for fused res4 blocks (0 = whole-image).
+    fused_res4_strips: int = 0
     # Fused serving kernel for the stride-1 projection block (res2 b0).
     fused_proj: bool = False
     # Hand-fused Pallas backward for every identity block during training
     # (ops/pallas/bottleneck_bwd.py).
     fused_train: bool = False
+    fused_bwd_strip_rows: int = 20
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -238,8 +241,12 @@ class ResNet50(nn.Module):
                                              self.fused_res2_strips
                                              if filters == 64 else
                                              self.fused_res3_strips
-                                             if filters == 128 else 0),
+                                             if filters == 128 else
+                                             self.fused_res4_strips
+                                             if filters == 256 else 0),
                                          fused_train=self.fused_train,
+                                         fused_bwd_strip_rows=(
+                                             self.fused_bwd_strip_rows),
                                          dtype=self.dtype)
                 x = remat_call(block, x, training, self.remat)
             taps[f"C{stage_idx + 2}"] = x

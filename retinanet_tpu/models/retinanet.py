@@ -37,8 +37,10 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
                    fused_res2: bool = False,
                    fused_res2_strips: int = 20,
                    fused_res3_strips: int = 0,
+                   fused_res4_strips: int = 0,
                    fused_proj: bool = False,
-                   fused_train: bool = False) -> nn.Module:
+                   fused_train: bool = False,
+                   fused_bwd_strip_rows: int = 20) -> nn.Module:
     """Reference ``retinanet.py:12-21`` (resnet_50 is ResNeXt-50 there too);
     ``resnet_50_dense`` is the TPU-native dense-conv flagship addition."""
     if name == "resnet_50":
@@ -50,8 +52,11 @@ def build_backbone(name: str, activation: str, dropout_rate: float,
                         fused_res2=fused_res2,
                         fused_res2_strips=fused_res2_strips,
                         fused_res3_strips=fused_res3_strips,
+                        fused_res4_strips=fused_res4_strips,
                         fused_proj=fused_proj,
-                        fused_train=fused_train, dtype=dtype)
+                        fused_train=fused_train,
+                        fused_bwd_strip_rows=fused_bwd_strip_rows,
+                        dtype=dtype)
     if name == "densenet_121":
         return DenseNetBC121(activation=activation, dropout_rate=dropout_rate,
                              remat=remat, quantize=quantize, dtype=dtype)
@@ -87,10 +92,12 @@ class RetinaNet(nn.Module):
     fused_res2: bool = False
     fused_res2_strips: int = 20
     fused_res3_strips: int = 0
+    fused_res4_strips: int = 0
     fused_proj: bool = False
     # Hand-fused Pallas backward for dense-ResNet identity blocks during
     # training (ops/pallas/bottleneck_bwd.py).
     fused_train: bool = False
+    fused_bwd_strip_rows: int = 20
     # Sharding hint for the deepest FPN levels under a 2-D (data, space)
     # mesh (see FPN.space_hint).  Built by from_config(mesh=...) / the
     # Trainer's spatial path; None on 1-D meshes.
@@ -120,8 +127,10 @@ class RetinaNet(nn.Module):
             fused_res2=cfg.fused_res2,
             fused_res2_strips=cfg.fused_res2_strips,
             fused_res3_strips=cfg.fused_res3_strips,
+            fused_res4_strips=cfg.fused_res4_strips,
             fused_proj=cfg.fused_proj,
             fused_train=cfg.fused_train,
+            fused_bwd_strip_rows=cfg.fused_bwd_strip_rows,
             dtype=jnp.dtype(cfg.compute_dtype))
 
     def setup(self):
@@ -131,8 +140,10 @@ class RetinaNet(nn.Module):
             fused_blocks=self.fused_blocks, fused_res2=self.fused_res2,
             fused_res2_strips=self.fused_res2_strips,
             fused_res3_strips=self.fused_res3_strips,
+            fused_res4_strips=self.fused_res4_strips,
             fused_proj=self.fused_proj,
-            fused_train=self.fused_train)
+            fused_train=self.fused_train,
+            fused_bwd_strip_rows=self.fused_bwd_strip_rows)
         self.fpn = FPN(channels=self.fpn_channels, activation=self.activation,
                        quantize=self.quantize, space_hint=self.space_hint,
                        dtype=self.dtype)
