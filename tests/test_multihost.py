@@ -77,11 +77,20 @@ if sys.argv[4] == "square":
     # metrics (evaluate_model replays records in global dataset order).
     import json
     from retinanet_tpu import evaluate as eval_cli
-    metrics = eval_cli.main([
-        "--dataset", "shapes", "unused", "16", "64",
-        "--experiment", sys.argv[3], "--backbone", "mobilenet_v2",
-        "--scale", "64", "--batch-size", "4", "--platform", "cpu"])
+    base = ["--dataset", "shapes", "unused", "16", "64",
+            "--experiment", sys.argv[3], "--backbone", "mobilenet_v2",
+            "--scale", "64", "--batch-size", "4", "--platform", "cpu"]
+    metrics = eval_cli.main(base)
     print("EVAL_METRICS", json.dumps(metrics, sort_keys=True), flush=True)
+    # --data-parallel under multi-process: each process shards its eval
+    # batches over its OWN 4 local devices (local mesh), detection stays
+    # collective-free, and the final record all-gather is unchanged.
+    # (Bit-equality with the non-DP run is NOT promised — per-shard
+    # programs compile at batch 1 and differ from the batch-4 program by
+    # conv-tiling ulps — but cross-process identity still is.)
+    metrics_dp = eval_cli.main(base + ["--data-parallel"])
+    print("EVAL_METRICS_DP", json.dumps(metrics_dp, sort_keys=True),
+          flush=True)
 """
 
 
@@ -128,11 +137,15 @@ def test_two_process_distributed_training(tmp_path, mode):
         assert "FINAL_STEP 2" in out, out[-2000:]
     if mode == "square":
         # Sharded multi-process eval must yield IDENTICAL metrics on every
-        # process (records replayed in global order after the all-gather).
+        # process (records replayed in global order after the all-gather)
+        # — for the plain path AND the per-process data-parallel path.
+        for tag in ("EVAL_METRICS ", "EVAL_METRICS_DP "):
+            lines = [[ln for ln in out.splitlines() if ln.startswith(tag)]
+                     for out in outs]
+            assert all(len(ls) == 1 for ls in lines), outs[0][-2000:]
+            assert lines[0][0] == lines[1][0], (lines[0][0], lines[1][0])
         lines = [[ln for ln in out.splitlines()
                   if ln.startswith("EVAL_METRICS ")] for out in outs]
-        assert all(len(ls) == 1 for ls in lines), outs[0][-2000:]
-        assert lines[0][0] == lines[1][0], (lines[0][0], lines[1][0])
         # ... and bit-identical to a single-process evaluation of the same
         # checkpoint (per-image detection is batch-composition-independent;
         # records replay in global dataset order).
