@@ -135,6 +135,87 @@ class Detector:
         return results
 
 
+def _jaxpr_flops(jaxpr) -> float:
+    """Sum conv/dot FLOPs over a jaxpr, recursing into sub-jaxprs.
+
+    Counts only the MXU ops (conv_general_dilated, dot_general) — they are
+    >99% of the model's arithmetic; elementwise ops are bandwidth, not FLOPs,
+    on the roofline this number feeds.
+    """
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "conv_general_dilated":
+            out_shape = eqn.outvars[0].aval.shape
+            rhs_shape = eqn.invars[1].aval.shape
+            rhs_spec = eqn.params["dimension_numbers"].rhs_spec
+            # kernel = [spatial..., in_features/groups, out_features] in some
+            # order; rhs_spec = (out_feature_dim, in_feature_dim, spatial...).
+            k_in = rhs_shape[rhs_spec[1]]
+            k_spatial = 1
+            for d in rhs_spec[2:]:
+                k_spatial *= rhs_shape[d]
+            total += 2.0 * float(np.prod(out_shape)) * k_spatial * k_in
+        elif name == "dot_general":
+            out_shape = eqn.outvars[0].aval.shape
+            (lhs_c, _), _ = eqn.params["dimension_numbers"]
+            lhs_shape = eqn.invars[0].aval.shape
+            k = 1
+            for d in lhs_c:
+                k *= lhs_shape[d]
+            total += 2.0 * float(np.prod(out_shape)) * k
+        else:
+            mult = eqn.params.get("length", 1) if name == "scan" else 1
+            for v in eqn.params.values():
+                vals = v if isinstance(v, (tuple, list)) else (v,)
+                for item in vals:
+                    sub = getattr(item, "jaxpr", None)
+                    if sub is not None and hasattr(sub, "eqns"):
+                        total += mult * _jaxpr_flops(sub)
+                    elif hasattr(item, "eqns"):
+                        total += mult * _jaxpr_flops(item)
+    return total
+
+
+def forward_gflops_per_image(config: Config, num_classes: int = 80,
+                             algorithmic: bool = False) -> float:
+    """Analytic forward GFLOPs/image of the model at the config's image size.
+
+    Traced from the UNFUSED float model (the Pallas fused blocks compute the
+    same math but hide it from the jaxpr); tracing is host-only — no compile,
+    no device work.  Feeds the bench record's MFU / ceiling note.
+
+    ``algorithmic=True`` traces grouped convs with their true
+    ``feature_group_count`` even where the model would lower them to
+    block-diagonal dense (``Conv.grouped_as_dense``, a deliberate 32x-MAC
+    trade measured faster on the MXU) — i.e. the FLOPs the model *needs*,
+    the fair roofline-ceiling basis.  Default counts what the chip executes.
+    """
+    import contextlib
+    import dataclasses
+
+    from retinanet_tpu.models import layers as _layers
+
+    model_cfg = dataclasses.replace(
+        config.model, fused_blocks=False, fused_res2=False,
+        fused_res3_strips=0, fused_res4_strips=0, quantize="none")
+    levels = build_levels(config.anchors)
+    model = RetinaNet.from_config(model_cfg, levels.num_anchors, num_classes)
+    size = config.data.image_size
+    ctx = (_layers.force_true_grouped() if algorithmic
+           else contextlib.nullcontext())
+    with ctx:
+        params = jax.eval_shape(
+            lambda rng, x: model.init(rng, x, training=False),
+            jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32))["params"]
+        img = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
+        traced = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, training=False)
+        ).trace(params, img)
+    return _jaxpr_flops(traced.jaxpr.jaxpr) / 1e9
+
+
 def benchmark(config: Config, batch_size: int = 8, steps: int = 20,
               warmup: int = 3, num_classes: int = 80) -> Dict[str, float]:
     """images/sec + p50 latency of the full inference path on random data."""

@@ -24,6 +24,26 @@ from jax import Array
 
 Dtype = Any
 
+# Trace-time override: force grouped convs to keep their algorithmic
+# feature_group_count even where ``grouped_as_dense`` would lower them to a
+# block-diagonal dense conv.  Only analytic FLOP counting uses this
+# (infer.forward_gflops_per_image) — the jaxpr of the dense lowering counts
+# the deliberate 32x physical MACs, not what the model algorithmically needs.
+_FORCE_TRUE_GROUPED = False
+
+
+class force_true_grouped:
+    """Context manager flipping :data:`_FORCE_TRUE_GROUPED` for a trace."""
+
+    def __enter__(self):
+        global _FORCE_TRUE_GROUPED
+        _FORCE_TRUE_GROUPED = True
+
+    def __exit__(self, *exc):
+        global _FORCE_TRUE_GROUPED
+        _FORCE_TRUE_GROUPED = False
+
+
 # He-normal fan-in: reference variance_scaling_initializer(2.0, FAN_IN, normal)
 # (resnet.py:193, densenet.py:268, mobilenet_v2.py:107).
 he_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
@@ -191,7 +211,7 @@ class Conv(nn.Module):
         if params_only:  # see GroupNorm.__call__
             return kernel
         groups = self.feature_group_count
-        if self.grouped_as_dense and groups > 1 \
+        if self.grouped_as_dense and not _FORCE_TRUE_GROUPED and groups > 1 \
                 and x.shape[-1] == self.features:
             cin, cg = x.shape[-1], kernel.shape[2]
             # dense[:, :, i, o] = kernel[:, :, i % cg, o] iff i//cg == o//cg.

@@ -87,6 +87,10 @@ def allgather_pyobjs(obj):
     ``multihost_utils.process_allgather`` (two collectives: lengths, then
     payloads).  Host metadata only — e.g. the distributed evaluator's
     per-image detection records — never hot-path tensors.
+
+    Trusted-environment-only: payloads are unpickled, so every process in
+    the pod must be mutually trusted (true of any jax.distributed job —
+    processes already share a coordinator and device mesh).
     """
     import pickle
 

@@ -608,6 +608,10 @@ class Trainer:
         (reference ``build_summary`` / ``draw_classmap``,
         ``train.py:52-85,164-187`` — rendered post-step on host instead of
         via an in-graph tf.py_func callback)."""
+        try:
+            import cv2
+        except ImportError:
+            return  # before any compile/device work: cv2-less hosts pay zero
         from retinanet_tpu.infer import make_inference_fn
         from retinanet_tpu.utils.draw import draw_bounding_boxes
 
@@ -630,10 +634,6 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         mean = np.asarray(self.config.data.mean)
         std = np.asarray(self.config.data.std)
-        try:
-            import cv2
-        except ImportError:
-            return
         names = self.loader.class_names
         from retinanet_tpu.utils.draw import draw_classmap
 
