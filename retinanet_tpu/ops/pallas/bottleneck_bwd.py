@@ -21,8 +21,14 @@ Structure: seven strip-tiled passes per image (grid over the batch;
 H-strips bound fp32 residency exactly like the forward
 ``bottleneck.py:_strip_kernel``).  ``x``/``dout``/``dx`` live in HBM
 (``memory_space=ANY``) and are staged by explicit DMA — ``x`` once into a
-whole-image VMEM plane, ``dout``/``dx`` strip-by-strip — so VMEM holds
-only bf16 planes, never double-buffered whole-image blocks:
+whole-image VMEM plane, ``dout``/``dx`` strip-by-strip.  The grid over
+the batch is sequential on a TPU core, which serialized every DMA wait
+against compute in the first version; now the HBM reads are overlapped
+(VERDICT r4 #6): image ``i+1``'s ``x`` plane prefetches into the
+alternate slot of a double buffer while image ``i``'s seven passes run,
+and P4's ``dout`` strips double-buffer so strip ``s+1`` lands during
+strip ``s``'s compute.  The ``dx`` write-back already overlapped with
+the conv1 wgrad.  Passes:
 
   P1  x@k1 per strip → yb1 plane, GN1 moment sums
   P2  GN1-affine+relu on 1-row-halo reads of yb1, 3×3 as 9 shifted dots
@@ -101,8 +107,9 @@ def _bwd_kernel(x_hbm, dout_hbm, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
                 b2_ref, k3_ref, g3_ref, b3_ref,
                 dx_hbm, dk1_ref, dg1_ref, db1_ref, dk2_ref, dg2_ref, db2_ref,
                 dk3_ref, dg3_ref, db3_ref,
-                x_pl, yb1, yb2, yb3, dn3, dn2, dn1, ds_buf, dx_buf, sem, *,
-                eps: float, strips, h: int, w: int, c: int, f: int):
+                x_db, yb1, yb2, yb3, dn3, dn2, dn1, ds_db, dx_buf,
+                sem_x, sem_do, sem, *,
+                eps: float, strips, nb: int, h: int, w: int, c: int, f: int):
     i = pl.program_id(0)
     m = h * w
     gf = resolve_groups(f)
@@ -118,10 +125,25 @@ def _bwd_kernel(x_hbm, dout_hbm, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     # Whole image in one DMA: x is read by P1 (conv1), P4 (relu mask) and
-    # P7 (conv1 wgrad) — staging it once beats three HBM reads.
-    dma_x = pltpu.make_async_copy(x_hbm.at[i], x_pl, sem)
-    dma_x.start()
-    dma_x.wait()
+    # P7 (conv1 wgrad) — staging it once beats three HBM reads.  The plane
+    # is DOUBLE-buffered across the (sequential) batch grid: image i+1's
+    # DMA is issued here and lands while i's seven passes compute, so the
+    # per-image x read is off the critical path for every image but the
+    # first (VERDICT r4 #6: the serialized per-image grid).
+    slot = i % 2
+    x_pl = x_db.at[slot]
+
+    @pl.when(i == 0)
+    def _first_x():
+        pltpu.make_async_copy(x_hbm.at[0], x_db.at[0], sem_x.at[0]).start()
+
+    pltpu.make_async_copy(x_hbm.at[i], x_pl, sem_x.at[slot]).wait()
+
+    @pl.when(i + 1 < nb)
+    def _prefetch_x():
+        nxt = (i + 1) % 2
+        pltpu.make_async_copy(x_hbm.at[i + 1], x_db.at[nxt],
+                              sem_x.at[nxt]).start()
 
     # ---- P1: conv1 forward per strip, GN1 moment sums -----------------
     s1 = jnp.zeros((1, f), _F32)
@@ -180,18 +202,26 @@ def _bwd_kernel(x_hbm, dout_hbm, k1_ref, g1_ref, b1_ref, k2_ref, g2_ref,
     shift3 = (b3_ref[:] - mean3 * inv3 * g3).astype(_BF16)
 
     # ---- P4: output-relu mask, dn3 plane, GN3 cotangent sums ----------
+    # dout strips are double-buffered: strip s+1's DMA lands while strip s
+    # computes (the loop is static, so the slot index is static too).
+    def _do_copy(idx: int):
+        r0s, r1s = strips[idx]
+        return pltpu.make_async_copy(
+            dout_hbm.at[i, pl.ds(r0s, r1s - r0s)],
+            ds_db.at[idx % 2, pl.ds(0, r1s - r0s)], sem_do.at[idx % 2])
+
     sb3 = jnp.zeros((1, c), _F32)
     sg3 = jnp.zeros((1, c), _F32)
-    for r0, r1 in strips:
+    _do_copy(0).start()
+    for idx, (r0, r1) in enumerate(strips):
         rs = r1 - r0
-        dma_do = pltpu.make_async_copy(dout_hbm.at[i, pl.ds(r0, rs)],
-                                       ds_buf.at[pl.ds(0, rs)], sem)
-        dma_do.start()
-        dma_do.wait()
+        _do_copy(idx).wait()
+        if idx + 1 < len(strips):
+            _do_copy(idx + 1).start()
         ybs = yb3[r0:r1].reshape(rs * w, c)
         n3 = ybs * scale3 + shift3                   # bf16, as the forward
         pre = n3 + x_pl[r0:r1].reshape(rs * w, c)    # bf16 add, as forward
-        do = ds_buf[pl.ds(0, rs)].reshape(rs * w, c)
+        do = ds_db[idx % 2, pl.ds(0, rs)].reshape(rs * w, c)
         # v5e Mosaic: no bf16 vector compare ("Target does not support this
         # comparison") — compare in f32 (exact: bf16 ⊂ f32).
         d3 = jnp.where(pre.astype(_F32) > 0, do, jnp.zeros_like(do))
@@ -309,7 +339,7 @@ def fused_bottleneck_bwd(x: Array, dout: Array, k1: Array, g1: Array,
     strips = tuple((r0, min(r0 + rows, h)) for r0 in range(0, h, rows))
     rmax = max(r1 - r0 for r0, r1 in strips)
     kernel = functools.partial(_bwd_kernel, eps=eps, strips=strips,
-                               h=h, w=w, c=c, f=f)
+                               nb=b, h=h, w=w, c=c, f=f)
     row2d = lambda a: a.reshape(1, -1).astype(_F32)
     operands = (x.astype(_BF16), dout.astype(_BF16),
                 k1.reshape(c, f).astype(_BF16), row2d(g1), row2d(b1),
@@ -339,19 +369,21 @@ def fused_bottleneck_bwd(x: Array, dout: Array, k1: Array, g1: Array,
                   + [const(s.shape) for s in out_shapes[1:]],
         out_shape=out_shapes,
         scratch_shapes=(
-            pltpu.VMEM((h, w, c), _BF16),                # x plane
+            pltpu.VMEM((2, h, w, c), _BF16),             # x planes (db)
             pltpu.VMEM((h, w, f), _BF16),                # yb1
             pltpu.VMEM((h, w, f), _BF16),                # yb2
             pltpu.VMEM((h, w, c), _BF16),                # yb3
             pltpu.VMEM((h, w, c), _BF16),                # dn3
             pltpu.VMEM((h, w, f), _BF16),                # dn2
             pltpu.VMEM((h, w, f), _BF16),                # dn1
-            pltpu.VMEM((rmax, w, c), _BF16),             # dout strip
+            pltpu.VMEM((2, rmax, w, c), _BF16),          # dout strips (db)
             pltpu.VMEM((rmax, w, c), _BF16),             # dx strip
+            pltpu.SemaphoreType.DMA((2,)),               # x prefetch sems
+            pltpu.SemaphoreType.DMA((2,)),               # dout strip sems
             pltpu.SemaphoreType.DMA(()),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
     )(*operands)
     dx, dk1, dg1, db1, dk2, dg2, db2, dk3, dg3, db3 = outs
