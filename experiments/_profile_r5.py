@@ -63,6 +63,28 @@ def res4gate(batch=128, size=640):
               flush=True)
 
 
+def bwdenvelope(size=640):
+    """b64 point for the DMA-overlapped fused backward: completes the
+    batch-size envelope (b16 0.976x, b32 1.039x vs XLA — NOTES r5) so
+    the --fused-train guidance states where the win starts."""
+    from retinanet_tpu import train as T
+
+    config, *_ = _flagship(1, size)
+    for tag, fused in (("xla   ", False), ("ov s20", True)):
+        cfg = dataclasses.replace(
+            config, model=dataclasses.replace(config.model,
+                                              fused_train=fused,
+                                              fused_bwd_strip_rows=20))
+        for b in (64,):
+            try:
+                r = T.benchmark_train(cfg, batch_size=b, steps=6, warmup=2)
+                print(f"bwd={tag} b{b:<3d} {r['images_per_sec']:7.1f} img/s"
+                      f"  {r['step_ms']:7.1f} ms/step", flush=True)
+            except Exception as e:
+                print(f"bwd={tag} b{b}: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     args = [int(a) for a in sys.argv[2:]]

@@ -156,6 +156,10 @@ def main(argv=None):
              "over R-row bands instead of whole-image residency "
              "(r4levers measured winner: 10)")
     parser.add_argument(
+        "--fused-res4-strips", type=int, default=0, metavar="R",
+        help="with --fused-blocks: strip-tile the fused res4 kernels "
+             "(r4levers2 measured winner: 10)")
+    parser.add_argument(
         "--data-parallel", action="store_true",
         help="shard eval batches over ALL local devices (params replicated, "
              "batch split on a 1-D data mesh; no collectives — decode/NMS "
@@ -213,6 +217,7 @@ def main(argv=None):
         ("model.fused_blocks", bool(args.fused_blocks)),
         ("model.fused_res2", bool(args.fused_res2)),
         ("model.fused_res3_strips", args.fused_res3_strips),
+        ("model.fused_res4_strips", args.fused_res4_strips),
     ]:
         config = _apply_dotted(config, dotted, value)
 

@@ -275,6 +275,23 @@ def test_resnet50_res2_strips_matches_unfused():
         np.testing.assert_allclose(r, o, rtol=5e-2, atol=1e-1, err_msg=k)
 
 
+def test_resnet50_res4_strips_matches_unfused():
+    """fused_res4_strips routes res4 (filters=256) identity blocks through
+    the strip kernel; whole-backbone agreement at the standard tolerance
+    (the bench-adopted serving stack is res2s20 + res3s10 + res4s10)."""
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.bfloat16)
+    plain = ResNet50()
+    fused = ResNet50(fused_blocks=True, fused_res4_strips=1)
+    params = plain.init(jax.random.PRNGKey(0), x, training=False)["params"]
+    ref = plain.apply({"params": params}, x, training=False)
+    out = fused.apply({"params": params}, x, training=False)
+    for k in ref:
+        r = np.asarray(ref[k], np.float32)
+        o = np.asarray(out[k], np.float32)
+        np.testing.assert_allclose(r, o, rtol=5e-2, atol=1e-1, err_msg=k)
+
+
 def test_resnet50_res3_strips_matches_unfused():
     """fused_res3_strips routes res3 (filters=128) identity blocks through
     the strip kernel (res4/res5 stay whole-image); whole-backbone agreement
