@@ -110,7 +110,12 @@ def main(argv=None):
                                   # 589.4 img/s at strips=10 vs 578.0
                                   # whole-image (1.020x); fused_proj lost
                                   # (532.2) and stays off.
-                                  fused_res3_strips=10 if fused else 0),
+                                  fused_res3_strips=10 if fused else 0,
+                                  # Strip-tiled res4: r5 seq3 in-model A/B
+                                  # 593.0 vs 588.9 img/s (1.007x) and
+                                  # mAP-identical to 4 decimals on a
+                                  # trained checkpoint (NOTES round 5).
+                                  fused_res4_strips=10 if fused else 0),
         nms=dataclasses.replace(config.nms, use_approx_top_k=True))
     # Batch 128 is the measured throughput sweet spot on v5e (473.6 img/s
     # vs 432.5 @b64, 466.8 @b256); p50 latency is reported alongside.

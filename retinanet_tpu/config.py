@@ -487,9 +487,15 @@ def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     if args.class_loss is not None:
         cfg = _apply_dotted(cfg, "loss.class_losses", tuple(args.class_loss))
     if args.buckets is not None:
-        buckets = []
-        for spec in args.buckets:
-            h, w = spec.lower().split("x")
-            buckets.append((int(h), int(w)))
-        cfg = _apply_dotted(cfg, "data.buckets", tuple(buckets))
+        cfg = _apply_dotted(cfg, "data.buckets", parse_buckets(args.buckets))
     return cfg
+
+
+def parse_buckets(specs) -> Tuple[Tuple[int, int], ...]:
+    """Parse ``["640x640", "640x448", ...]`` HxW specs (the --buckets CLI
+    surface, shared by train and evaluate)."""
+    buckets = []
+    for spec in specs:
+        h, w = spec.lower().split("x")
+        buckets.append((int(h), int(w)))
+    return tuple(buckets)

@@ -27,6 +27,7 @@ train step.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -42,6 +43,29 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
     from PIL import Image
+
+
+def _bounded_map(pool, fn, iterable, window: int):
+    """Ordered imap with a bounded number of in-flight futures.
+
+    ``Executor.map`` submits its ENTIRE input eagerly — an epoch's memory
+    becomes O(dataset) as every prepared sample waits in a completed
+    future.  This submits at most ``window`` ahead of consumption
+    (O(window) memory) and cancels the queued tail when the consumer
+    stops early (part of the round-5 host-OOM fix; see
+    ``Pipeline.prefetched``).
+    """
+    futures = collections.deque()
+    try:
+        for item in iterable:
+            futures.append(pool.submit(fn, item))
+            if len(futures) >= window:
+                yield futures.popleft().result()
+        while futures:
+            yield futures.popleft().result()
+    finally:
+        for f in futures:
+            f.cancel()
 
 
 class Batch(NamedTuple):
@@ -339,8 +363,8 @@ class Pipeline:
             # without buckets there is a single accumulator.  Per-bucket
             # remainders are dropped like the final short batch.
             pending: Dict[tuple, list] = {}
-            for processed in pool.map(prepare, with_augment_draws(),
-                                      chunksize=1):
+            for processed in _bounded_map(pool, prepare, with_augment_draws(),
+                                          window=cfg.num_workers * 2 + 2):
                 key = tuple(np.shape(processed["image"])[:2])
                 bucket = pending.setdefault(key, [])
                 bucket.append(processed)
@@ -388,7 +412,8 @@ class Pipeline:
             return make_batch(list(pool.map(
                 lambda it: prepare(it, canvas_override=canvas), chosen)))
 
-        for item, ideal in pool.map(classify, stream, chunksize=1):
+        for item, ideal in _bounded_map(pool, classify, stream,
+                                        window=cfg.num_workers * 2 + 2):
             queues[ideal].append(item)
             pending += 1
             if pending >= lookahead:
@@ -399,29 +424,61 @@ class Pipeline:
             pending -= cfg.batch_size
 
     def prefetched(self, epoch_index: int = 0) -> Iterator[Batch]:
-        """epoch() with a background producer thread."""
+        """epoch() with a background producer thread.
+
+        Abandonment-safe: a consumer that stops early (``--steps-per-epoch``
+        breaks the train loop every epoch) closes this generator, which
+        signals the producer to stop and closes the underlying ``epoch()``
+        generator (shutting down its thread pool).  Without that, every
+        abandoned epoch leaked the producer thread blocked on ``q.put``
+        plus the pool and its pending batches — ~1 batch of host RAM per
+        epoch, enough to OOM a 125 GB host in a 2400-step @b128 run
+        (round-5 incident, reproduced and tracemalloc'd on CPU).
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.config.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error = []
 
         def produce():
+            gen = self.epoch(epoch_index)
             try:
-                for b in self.epoch(epoch_index):
-                    q.put(b)
+                for b in gen:
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        break
             except BaseException as e:  # propagate to consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                gen.close()  # unwinds epoch()'s ThreadPoolExecutor
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            while True:  # unblock a producer waiting on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30)
 
 
 def build_pipeline(loader: Base, config: DataConfig, max_boxes: int = 100,

@@ -30,14 +30,32 @@ DEFAULT_SIZES: Sequence[Tuple[int, int]] = (
 )
 
 
+def _class_color(class_index: int, num_classes: int,
+                 rng: np.random.RandomState) -> Tuple[int, int, int]:
+    """Deterministic hue per class (+ small jitter) — classes are visually
+    LEARNABLE (hue × shape), so the drill tests end-to-end learning on
+    COCO-format data, not just the data path.  (Round-5 finding: with
+    random colors the 20 'classes' reduce to 2 visual classes and the
+    classifier correctly learns nothing — class loss plateaus at chance.)
+    """
+    import colorsys
+    hue = (class_index / num_classes + rng.uniform(-0.015, 0.015)) % 1.0
+    r, g, b = colorsys.hsv_to_rgb(hue, rng.uniform(0.75, 1.0),
+                                  rng.uniform(0.75, 1.0))
+    return int(r * 255), int(g * 255), int(b * 255)
+
+
 def generate(out_dir: str, num_images: int = 1000, num_classes: int = 20,
              seed: int = 0, sizes: Sequence[Tuple[int, int]] = DEFAULT_SIZES,
              crowd_prob: float = 0.1, max_objects: int = 8,
-             image_size_divisor: int = 1) -> Tuple[str, str]:
+             image_size_divisor: int = 1,
+             learnable_classes: bool = True) -> Tuple[str, str]:
     """Write the dataset; returns (annotation_json_path, image_dir).
 
     Category ids are spaced (1, 3, 5, ...) to exercise dense re-indexing.
     Crowd annotations are larger regions containing several drawn objects.
+    ``learnable_classes=False`` restores the pre-round-5 random-color mode
+    (appearance independent of category — a pure format/scale drill).
     """
     try:
         import cv2
@@ -61,12 +79,14 @@ def generate(out_dir: str, num_images: int = 1000, num_classes: int = 20,
 
         n_obj = rng.randint(1, max_objects + 1)
         for _ in range(n_obj):
-            cat = cat_ids[rng.randint(num_classes)]
+            k = rng.randint(num_classes)
+            cat = cat_ids[k]
             ow = rng.randint(max(8, w // 16), max(12, w // 3))
             oh = rng.randint(max(8, h // 16), max(12, h // 3))
             left = rng.randint(0, max(1, w - ow))
             top = rng.randint(0, max(1, h - oh))
-            color = tuple(int(c) for c in rng.randint(0, 255, 3))
+            color = (_class_color(k, num_classes, rng) if learnable_classes
+                     else tuple(int(c) for c in rng.randint(0, 255, 3)))
             if cat % 4 == 1:
                 cv2.rectangle(canvas, (left, top), (left + ow, top + oh),
                               color, -1)
@@ -118,9 +138,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--num-classes", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--crowd-prob", type=float, default=0.1)
+    p.add_argument("--random-colors", action="store_true",
+                   help="pre-round-5 mode: object color independent of "
+                        "category (classes visually unlearnable — a pure "
+                        "format/scale drill)")
     args = p.parse_args(argv)
     ann, imgs = generate(args.out_dir, args.num_images, args.num_classes,
-                         args.seed, crowd_prob=args.crowd_prob)
+                         args.seed, crowd_prob=args.crowd_prob,
+                         learnable_classes=not args.random_colors)
     print(json.dumps({"annotations": ann, "images": imgs}))
 
 

@@ -66,10 +66,11 @@ def load_detector(config: Config, loader, step=None, mesh=None,
             logger.warning("only %d checkpoints available for "
                            "--average-checkpoints %d", len(steps),
                            average_last)
-        state = create_train_state(model, config, jax.random.PRNGKey(0))
+        template = create_train_state(model, config,
+                                      jax.random.PRNGKey(0)).params
         acc = None
         for s in steps:
-            params = store.restore(state, s).params
+            params = store.restore_params(template, s)
             acc = params if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, acc, params)
         n = float(len(steps))
@@ -90,9 +91,10 @@ def load_detector(config: Config, loader, step=None, mesh=None,
         raise FileNotFoundError(
             f"no checkpoints in {store.checkpoint_dir} — wrong "
             f"--experiment path, or the run never saved one")
-    state = create_train_state(model, config, jax.random.PRNGKey(0))
-    state = store.restore(state, step)
-    return Detector(config, state.params, loader.class_names, mesh=mesh)
+    template = create_train_state(model, config,
+                                  jax.random.PRNGKey(0)).params
+    params = store.restore_params(template, step)
+    return Detector(config, params, loader.class_names, mesh=mesh)
 
 
 def main(argv=None):
@@ -112,6 +114,13 @@ def main(argv=None):
                              "artifact's recorded serving size)")
     parser.add_argument("--backbone", type=str, default="resnet_50")
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument(
+        "--buckets", type=str, nargs="+", default=None, metavar="HxW",
+        help="rectangular canvas buckets, e.g. --buckets 640x640 640x448 "
+             "448x640: each image evaluates on its least-padding bucket "
+             "(one compiled program per bucket) — mirror the training "
+             "--buckets so the model serves under the geometry it "
+             "trained on")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--score-threshold", type=float, default=None,
                         help="post-NMS score filter on reported detections")
@@ -220,6 +229,10 @@ def main(argv=None):
         ("model.fused_res4_strips", args.fused_res4_strips),
     ]:
         config = _apply_dotted(config, dotted, value)
+    if args.buckets is not None:
+        from retinanet_tpu.config import parse_buckets
+        config = _apply_dotted(config, "data.buckets",
+                               parse_buckets(args.buckets))
 
     # Evaluation mode: crowd annotations become ignore regions (COCO eval
     # protocol) rather than being dropped (the training behaviour).

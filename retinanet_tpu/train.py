@@ -440,6 +440,33 @@ class CheckpointStore:
         return TrainState(restored["step"], restored["params"],
                           restored["opt_state"])
 
+    def restore_params(self, params, step: Optional[int] = None):
+        """Params-only restore for SERVING (evaluate/export/detect).
+
+        The full-tree ``restore`` needs a template whose ``opt_state``
+        structure matches the checkpoint — which depends on the
+        *training-time* optimizer config (e.g. ``--grad-clip-norm`` adds a
+        clip element to the optax chain).  Serving doesn't know and must
+        not care how the model was optimized, so this restores the
+        ``params`` subtree alone via Orbax partial restore (round-5 bug:
+        evaluating a clip-trained checkpoint crashed on the opt_state
+        structure mismatch).
+        """
+        step = step if step is not None else self.latest_checkpoint_step()
+        if step is None:
+            return params
+        path = os.path.join(self.checkpoint_dir, f"step_{step}")
+        import orbax.checkpoint as ocp
+        ckpt = ocp.PyTreeCheckpointer()
+        try:
+            restored = ckpt.restore(
+                path, args=ocp.args.PyTreeRestore(item={"params": params},
+                                                  partial_restore=True))
+        finally:
+            ckpt.close()
+        logger.info("restored params from step %d", step)
+        return restored["params"]
+
 
 class Trainer:
     """Epoch loop + checkpoints + metrics (reference ``train.py:246-277``)."""
@@ -769,10 +796,15 @@ class Trainer:
                         and self.is_lead else None)
         profile_dir = os.path.join(cfg.train.experiment, "profile")
         profiling = False
+        import contextlib
         for epoch in range(epochs):
             logger.info("epoch %d", epoch)
-            for i, (device_batch, batch) in enumerate(
-                    self._device_batches(epoch)):
+            # closing(): a steps-per-epoch break must unwind the pipeline
+            # generators deterministically (producer thread + worker pool),
+            # not whenever GC notices — see Pipeline.prefetched (round-5
+            # host-OOM fix).
+            with contextlib.closing(self._device_batches(epoch)) as batches:
+              for i, (device_batch, batch) in enumerate(batches):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
                 step = py_step + 1
